@@ -1,0 +1,91 @@
+"""Deterministic docID assignment + document stats.
+
+docID contract (FIXTURES.md §4): ``doc_id`` = dense rank of ``url`` in
+ascending lexicographic order within the indexed generation — stable,
+reproducible, ascending (delta-encoding friendly). ``url`` is the doc
+identity anchor, mirroring mee's anchor-field semantics
+(`modules/handlers/handlerconfig.py:528-568`: a changed anchor is
+delete+reinsert).
+
+Scale note: a naive ``dense_rank`` over a global ``Window.orderBy`` would
+collapse to ONE partition — unusable at 10^12 docs. Instead we use the
+classic scalable global-ordering pattern: range-repartition by url, sort
+within partitions, count rows per partition (a tiny driver-side list, one
+int per partition), prefix-sum the counts into per-partition offsets, and
+assign ``offset + local_rank``. Every step is fully parallel; the only
+driver data is O(num_partitions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from mee_spark.config import IndexConfig
+from mee_spark.textprep import extract_text, tokenize_col
+
+
+def assign_doc_ids(pages: DataFrame, num_partitions: int = 32,
+                   start_id: int = 0) -> DataFrame:
+    """Return (url, doc_id) with doc_id = start_id + dense rank of url.
+
+    Fully distributed: no global window, no driver materialization beyond
+    one count per partition.
+    """
+    urls = (
+        pages.select("url").distinct()
+        .repartitionByRange(num_partitions, "url")
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    # Tiny aggregate: one row per partition.
+    counts = {r["_pid"]: r["cnt"] for r in
+              urls.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+    offsets, acc = {}, start_id
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    spark = pages.sparkSession
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _offset long"
+        )
+    )
+    w = Window.partitionBy("_pid").orderBy("url")
+    return (
+        urls.join(off_df, "_pid")
+        .withColumn("doc_id", (F.col("_offset") + F.row_number().over(w) - 1).cast("long"))
+        .select("url", "doc_id")
+    )
+
+
+def build_docs(pages: DataFrame, cfg: IndexConfig,
+               docmap: DataFrame | None = None,
+               use_html: bool = True) -> DataFrame:
+    """pages -> (doc_id, url, tokens, dl).
+
+    Extraction is the vectorized Arrow UDF (byte-identical per url);
+    tokenization stays JVM-side. When ``use_html`` is False the ``text``
+    column is trusted directly (e.g. for corpora without html).
+    """
+    if cfg.lang_filter:
+        pages = pages.filter(F.col("lang") == cfg.lang_filter)
+    if docmap is None:
+        docmap = assign_doc_ids(pages, cfg.num_doc_partitions)
+    text_col = extract_text(F.col("html")) if use_html else F.col("text")
+    docs = (
+        pages.select("url", text_col.alias("_text"))
+        .withColumn("tokens", tokenize_col(F.col("_text")))
+        .withColumn("dl", F.size("tokens").cast("long"))
+        .drop("_text")
+        .join(docmap, "url")
+    )
+    return docs.select("doc_id", "url", "tokens", "dl")
+
+
+def corpus_stats(docs: DataFrame) -> dict:
+    """(N, avgdl) — computed once per build, broadcast to scorers
+    (north star: corpus stats computed once and broadcast)."""
+    row = docs.agg(
+        F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    return {"N": int(row["n"]), "avgdl": float(row["avgdl"] or 0.0)}

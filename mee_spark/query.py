@@ -1,0 +1,90 @@
+"""Query engines.
+
+Two paths, required to be rank-identical (tested):
+
+* ``bm25_topk_exhaustive`` — pure DataFrame plan over an uncompressed
+  postings DataFrame. Broadcast-joins the (tiny) query-term set into the
+  postings (the posting side never moves for the probe), computes df for
+  the query terms only, scores with JVM expressions inside whole-stage
+  codegen, and takes per-query top-k with a window. This is the
+  oracle-comparable declarative formulation and the correctness anchor.
+
+* ``wand`` (see wand.py / segments.py) — the production path over
+  compressed segments with block-max pruning.
+
+Scale shape of the exhaustive plan: postings ⨝ broadcast(query terms) is
+a broadcast hash join (no shuffle of the index); the groupBy
+(query_id, doc_id) shuffles only *matched* postings; the final window
+partitions by query_id — fine for realistic query batches. The summation
+order inside the sum() aggregate is engine-chosen, which is why scores
+are compared at 1e-9 tolerance / rounded presentation, and ranks use a
+rounded key with (doc_id) tie-break for cross-engine determinism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from mee_spark.bm25 import idf_col, tnorm_col
+from mee_spark.config import B, K1
+from mee_spark.textprep import tokenize_col
+
+
+def explode_query_terms(queries: DataFrame) -> DataFrame:
+    """(query_id, query_text[, k]) -> distinct (query_id, term[, k])."""
+    cols = ["query_id"] + (["k"] if "k" in queries.columns else [])
+    return (
+        queries.select(*cols, F.explode(tokenize_col(F.col("query_text"))).alias("term"))
+        .distinct()
+    )
+
+
+def bm25_topk_exhaustive(
+    postings: DataFrame,
+    queries: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    k: int | None = 10,
+    k1: float = K1,
+    b: float = B,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """-> (query_id, rank, doc_id, score), rank ≤ k per query.
+
+    ``postings`` must carry (term, doc_id, tf, dl). If ``k`` is None the
+    per-query ``k`` column of ``queries`` is used. Corpus stats (N,
+    avgdl) are plain broadcast scalars, computed once upstream.
+    """
+    qterms = explode_query_terms(queries)
+    # df for the query terms only — a tiny aggregate keyed by matched terms.
+    matched = postings.join(F.broadcast(qterms.select("term").distinct()), "term")
+    dfreq = matched.groupBy("term").agg(F.count("*").alias("df"))
+    contrib = (
+        matched
+        .join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(qterms), "term")
+        .withColumn(
+            "_contrib",
+            idf_col(F.col("df").cast("double"), n_docs)
+            * tnorm_col(F.col("tf").cast("double"), F.col("dl").cast("double"), avgdl, k1, b),
+        )
+    )
+    group_cols = ["query_id", "doc_id"] + (["k"] if k is None else [])
+    scored = contrib.groupBy(*group_cols).agg(F.sum("_contrib").alias("score"))
+    score_key = (
+        F.round(F.col("score"), round_digits) if round_digits is not None else F.col("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(score_key.desc(), F.col("doc_id").asc())
+    ranked = scored.withColumn("rank", F.row_number().over(w).cast("long"))
+    limit = F.col("k") if k is None else F.lit(k)
+    out_score = score_key.alias("score") if round_digits is not None else F.col("score")
+    return (
+        ranked.filter(F.col("rank") <= limit)
+        .select(
+            F.col("query_id").cast("int").alias("query_id"),
+            "rank",
+            F.col("doc_id").cast("long").alias("doc_id"),
+            out_score,
+        )
+    )
