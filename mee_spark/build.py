@@ -1,0 +1,254 @@
+"""Full + incremental index build drivers.
+
+Full build = mee's `update.py` rebuild lifecycle (`services/
+updateservice.py:47-80`): guard → build into a fresh generation →
+atomic publish. Incremental build = mee's binlog sync (`services/
+syncservice.py:53-114` + the 12-way event matrix in
+`modules/handlers/v1/commonhandler.py:595-605`) reframed as snapshot
+diffing: INSERT → new postings in a delta gen; UPDATE (changed text) →
+tombstone old docID + fresh postings, keeping the docID since ``url``
+(the anchor field, `handlerconfig.py:528-568`) is unchanged; DELETE →
+tombstone only. No full rebuild, readers see the old gen until publish.
+
+Everything the query engine needs later is durable per gen:
+``docmap.parquet`` (url, doc_id, dl, text_hash), segment files,
+``tombstones.parquet``, and a manifest with lineage + per-partition
+throughput metrics.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mee_spark import manifest as mf
+from mee_spark.config import IndexConfig
+from mee_spark.docmap import assign_doc_ids, build_docs
+from mee_spark.postings import build_postings
+from mee_spark.segments import build_segments
+from mee_spark.textprep import extract_text
+
+
+def _docmap_path(index_dir: str, gen: int) -> str:
+    return os.path.join(mf.gen_dir(index_dir, gen), "docmap.parquet")
+
+
+def _tombstones_path(index_dir: str, gen: int) -> str:
+    return os.path.join(mf.gen_dir(index_dir, gen), "tombstones.parquet")
+
+
+def _with_text_hash(pages: DataFrame, use_html: bool) -> DataFrame:
+    """Attach extracted text + its hash (the diff key, mee J5
+    `commonhandler.py:164-170`: changed fields detection)."""
+    text_col = extract_text(F.col("html")) if use_html else F.col("text")
+    return pages.withColumn("_text", text_col).withColumn(
+        "text_hash", F.xxhash64(F.col("_text"))
+    )
+
+
+def build_full_index(
+    spark: SparkSession,
+    pages: DataFrame,
+    cfg: IndexConfig,
+    index_dir: str,
+    gen: int = 1,
+    use_html: bool = True,
+    resume: bool = True,
+    lineage: dict | None = None,
+    publish: bool = True,
+) -> dict:
+    """Full rebuild into ``gen``; atomic publish on success. Returns manifest."""
+    t0 = time.monotonic()
+    if cfg.lang_filter:
+        pages = pages.filter(F.col("lang") == cfg.lang_filter)
+    from mee_spark.textprep import tokenize_col
+
+    docmap = assign_doc_ids(pages, cfg.num_doc_partitions)
+    # single extraction pass feeds hash + tokens + doclen; cached because it
+    # fans out into stats, docmap file and postings
+    text_col = extract_text(F.col("html")) if use_html else F.col("text")
+    docs = (
+        pages.select("url", text_col.alias("_text"))
+        .withColumn("text_hash", F.xxhash64(F.col("_text")))
+        .withColumn("tokens", tokenize_col(F.col("_text")))
+        .withColumn("dl", F.size("tokens").cast("long"))
+        .join(docmap, "url")
+        .select("doc_id", "url", "tokens", "dl", "text_hash")
+        .cache()
+    )
+    stats_row = docs.agg(
+        F.count("*").alias("n"), F.sum("dl").alias("sum_dl")
+    ).collect()[0]
+    n_docs, sum_dl = int(stats_row["n"]), int(stats_row["sum_dl"] or 0)
+    avgdl = (sum_dl / n_docs) if n_docs else 0.0
+
+    os.makedirs(mf.gen_dir(index_dir, gen), exist_ok=True)
+    docs.select("url", "doc_id", "dl", "text_hash").write.mode("overwrite").parquet(
+        _docmap_path(index_dir, gen)
+    )
+    postings = build_postings(docs)
+    part_metrics = build_segments(postings, cfg, index_dir, gen, resume=resume)
+    docs.unpersist()
+    wall = time.monotonic() - t0
+    m = mf.write_manifest(
+        index_dir, gen, parent=None, n_docs_live=n_docs, sum_dl_live=sum_dl,
+        metrics={
+            "kind": "full", "wall_sec": wall, "docs_indexed": n_docs,
+            "docs_per_sec": (n_docs / wall) if wall else 0.0,
+            "partitions": part_metrics,
+        },
+        lineage=lineage or {},
+    )
+    if publish:
+        mf.publish(index_dir, gen)
+    return m
+
+
+def build_incremental(
+    spark: SparkSession,
+    new_snapshot: DataFrame,
+    cfg: IndexConfig,
+    index_dir: str,
+    gen: int,
+    use_html: bool = True,
+    resume: bool = True,
+    lineage: dict | None = None,
+    publish: bool = True,
+) -> dict:
+    """Delta build: diff ``new_snapshot`` against the live index state.
+
+    Added urls get fresh docIDs (appended past the current max); changed
+    urls keep their docID (anchor unchanged) but are tombstoned+re-added;
+    missing urls are tombstoned. Merged at query time — no rebuild.
+    """
+    t0 = time.monotonic()
+    if cfg.lang_filter:
+        new_snapshot = new_snapshot.filter(F.col("lang") == cfg.lang_filter)
+    parent = mf.current_gen(index_dir)
+    if parent is None:
+        raise ValueError("no published index; run build_full_index first")
+    chain = mf.manifest_chain(index_dir, parent)
+    prev = live_docmap(spark, index_dir, [m["generation"] for m in chain])
+
+    hashed = _with_text_hash(new_snapshot, use_html).select(
+        "url", "_text", "text_hash"
+    )
+    diff = hashed.join(prev.select("url", F.col("doc_id").alias("old_doc_id"),
+                                   F.col("dl").alias("old_dl"),
+                                   F.col("text_hash").alias("old_hash")),
+                       "url", "full_outer")
+    added = diff.filter(F.col("old_doc_id").isNull())
+    deleted = diff.filter(F.col("text_hash").isNull())
+    changed = diff.filter(
+        F.col("old_doc_id").isNotNull() & F.col("text_hash").isNotNull()
+        & (F.col("text_hash") != F.col("old_hash"))
+    )
+
+    max_id = prev.agg(F.max("doc_id")).collect()[0][0]
+    added_ids = assign_doc_ids(added.select(F.col("url")), cfg.num_doc_partitions,
+                               start_id=int(max_id) + 1)
+    from mee_spark.textprep import tokenize_col
+
+    delta_docs = (
+        added.join(added_ids, "url")
+        .select("url", "doc_id", "_text", "text_hash")
+        .unionByName(
+            changed.select("url", F.col("old_doc_id").alias("doc_id"), "_text", "text_hash")
+        )
+        .withColumn("tokens", tokenize_col(F.col("_text")))
+        .withColumn("dl", F.size("tokens").cast("long"))
+        .select("doc_id", "url", "tokens", "dl", "text_hash")
+        .cache()
+    )
+    tombstones = (
+        changed.select(F.col("old_doc_id").alias("doc_id"))
+        .unionByName(deleted.select(F.col("old_doc_id").alias("doc_id")))
+    )
+
+    # corpus stats delta (exact): N' = N + added − deleted; Σdl' likewise,
+    # replacing changed docs' old dl with the new one.
+    agg = delta_docs.agg(F.count("*").alias("n"), F.sum("dl").alias("s")).collect()[0]
+    n_delta, dl_delta = int(agg["n"]), int(agg["s"] or 0)
+    rem = (
+        changed.select("old_dl").unionByName(deleted.select("old_dl"))
+        .agg(F.count("*").alias("n"), F.sum("old_dl").alias("s")).collect()[0]
+    )
+    n_removed, dl_removed = int(rem["n"]), int(rem["s"] or 0)
+    n_changed = changed.count()
+    prev_m = chain[-1]
+    n_live = prev_m["n_docs_live"] + n_delta - n_removed + 0  # changed counted in both
+    # changed docs: removed old (in rem) and re-added (in delta) -> net N includes once
+    sum_dl_live = prev_m["sum_dl_live"] + dl_delta - dl_removed
+    # avgdl for scoring THIS gen's blocks must be the post-merge corpus avgdl
+    avgdl = (sum_dl_live / n_live) if n_live else 0.0
+
+    os.makedirs(mf.gen_dir(index_dir, gen), exist_ok=True)
+    delta_docs.select("url", "doc_id", "dl", "text_hash").write.mode("overwrite").parquet(
+        _docmap_path(index_dir, gen)
+    )
+    tombstones.write.mode("overwrite").parquet(_tombstones_path(index_dir, gen))
+    postings = build_postings(delta_docs.select("doc_id", "tokens", "dl"))
+    part_metrics = build_segments(postings, cfg, index_dir, gen, resume=resume)
+    delta_docs.unpersist()
+    wall = time.monotonic() - t0
+    m = mf.write_manifest(
+        index_dir, gen, parent=parent, n_docs_live=n_live, sum_dl_live=sum_dl_live,
+        metrics={
+            "kind": "incremental", "wall_sec": wall,
+            "docs_added": n_delta - n_changed, "docs_changed": n_changed,
+            "docs_deleted": n_removed - n_changed,
+            "docs_per_sec": (n_delta / wall) if wall else 0.0,
+            "partitions": part_metrics,
+        },
+        lineage=lineage or {},
+        extra={"has_tombstones": True},
+    )
+    if publish:
+        mf.publish(index_dir, gen)
+    return m
+
+
+def live_docmap(spark: SparkSession, index_dir: str, gens: list[int]) -> DataFrame:
+    """(url, doc_id, dl, text_hash) of LIVE docs across the gen chain —
+    newest gen wins per url, tombstoned-without-replacement urls dropped."""
+    from pyspark.sql import Window
+
+    parts = []
+    for g in gens:
+        parts.append(
+            spark.read.parquet(_docmap_path(index_dir, g)).withColumn("gen", F.lit(g))
+        )
+    all_docs = parts[0]
+    for p in parts[1:]:
+        all_docs = all_docs.unionByName(p)
+    w = Window.partitionBy("url").orderBy(F.col("gen").desc())
+    latest = (
+        all_docs.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    )
+    # drop urls whose doc_id is tombstoned at a gen >= their own gen and not re-added
+    tombs = read_tombstones(spark, index_dir, gens)
+    if tombs is not None:
+        dead = tombs.groupBy("doc_id").agg(F.max("tomb_gen").alias("tomb_gen"))
+        # a changed doc is tombstoned AND re-added in the same gen, so
+        # liveness = docmap row at gen >= the newest tombstone for the id
+        latest = latest.join(dead, "doc_id", "left").filter(
+            F.col("tomb_gen").isNull() | (F.col("gen") >= F.col("tomb_gen"))
+        ).drop("tomb_gen")
+    return latest.drop("gen")
+
+
+def read_tombstones(spark: SparkSession, index_dir: str, gens: list[int]) -> DataFrame | None:
+    parts = []
+    for g in gens:
+        p = _tombstones_path(index_dir, g)
+        if os.path.isdir(p):
+            parts.append(spark.read.parquet(p).withColumn("tomb_gen", F.lit(g)))
+    if not parts:
+        return None
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

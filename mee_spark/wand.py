@@ -1,0 +1,180 @@
+"""Block-max WAND top-k scorer (pure numpy + heap; runs inside Arrow UDFs).
+
+Document-at-a-time WAND (Broder et al. 2003) with block-max refinement
+(Ding & Suel 2011): terms are kept sorted by their current docID; the
+pivot is the first term where the running sum of per-term score upper
+bounds exceeds the heap threshold θ. Before fully scoring a pivot
+document we re-check with the *block-local* upper bounds; if even those
+can't beat θ we jump past the smallest block boundary (NextShallow).
+
+Safety property (tested: WAND ≡ exhaustive on every fixture query):
+pruning only happens when the upper bound is *strictly* below θ, and the
+heap tie-break is (score desc, doc_id asc), so a θ-equal document with a
+smaller docID can still displace the current worst.
+
+Scoring determinism: contributions for a fully-scored doc are summed in
+lexicographic term order (same fixed order as the oracle).
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+
+from mee_spark.bm25 import idf_np, tnorm_np
+from mee_spark.config import B, K1
+
+
+class TermCursor:
+    """Decoded posting list for one query term plus traversal state."""
+
+    __slots__ = ("term", "docs", "scores", "blk_last", "blk_ub", "idf", "ptr", "n")
+
+    def __init__(self, term: str, docs: np.ndarray, tfs: np.ndarray,
+                 dls: np.ndarray, idf: float, avgdl: float,
+                 blk_last: np.ndarray, blk_max_tf: np.ndarray,
+                 blk_min_dl: np.ndarray, k1: float = K1, b: float = B) -> None:
+        self.term = term
+        self.docs = docs
+        self.scores = idf * tnorm_np(tfs, dls, avgdl, k1, b)
+        self.blk_last = np.asarray(blk_last, dtype=np.int64)
+        # UB derived under the CURRENT avgdl (valid across incremental gens)
+        self.blk_ub = idf * tnorm_np(
+            np.asarray(blk_max_tf), np.asarray(blk_min_dl), avgdl, k1, b
+        )
+        self.idf = float(idf)
+        self.ptr = 0
+        self.n = len(docs)
+
+    @property
+    def cur_doc(self) -> int:
+        return int(self.docs[self.ptr]) if self.ptr < self.n else np.iinfo(np.int64).max
+
+    @property
+    def max_score(self) -> float:
+        return float(self.blk_ub.max()) if self.blk_ub.size else 0.0
+
+    def seek(self, target: int) -> None:
+        """Advance to first doc >= target (galloping via searchsorted)."""
+        if self.ptr < self.n and self.docs[self.ptr] < target:
+            self.ptr += int(np.searchsorted(self.docs[self.ptr:], target, side="left"))
+
+    def block_ub_at(self, doc: int) -> float:
+        """Upper bound of the block containing (first block ending >=) doc."""
+        bi = int(np.searchsorted(self.blk_last, doc, side="left"))
+        if bi >= len(self.blk_ub):
+            return 0.0
+        return float(self.blk_ub[bi])
+
+    def block_end_at(self, doc: int) -> int:
+        bi = int(np.searchsorted(self.blk_last, doc, side="left"))
+        if bi >= len(self.blk_last):
+            return np.iinfo(np.int64).max
+        return int(self.blk_last[bi])
+
+    def score_at(self, doc: int) -> float:
+        """Exact contribution if current doc == doc else 0."""
+        if self.ptr < self.n and int(self.docs[self.ptr]) == doc:
+            return float(self.scores[self.ptr])
+        return 0.0
+
+
+def _heap_better(score: float, doc_id: int, worst: tuple) -> bool:
+    """(score desc, doc_id asc) ordering: can candidate displace worst?"""
+    wscore, wneg = worst[0], worst[1]
+    return score > wscore or (score == wscore and -doc_id > wneg)
+
+
+def wand_topk(cursors: list[TermCursor], k: int,
+              use_block_max: bool = True) -> list[tuple[int, float]]:
+    """-> [(doc_id, score)] ranked (score desc, doc_id asc), len <= k.
+
+    ``cursors`` is one TermCursor per distinct query term present in the
+    index (missing/OOV terms simply have no cursor).
+    """
+    cursors = [c for c in cursors if c.n > 0]
+    if not cursors or k <= 0:
+        return []
+    cursors.sort(key=lambda c: c.term)  # fixed scoring order
+    heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap; [0] = worst
+    big = np.iinfo(np.int64).max
+
+    while True:
+        live = [c for c in cursors if c.ptr < c.n]
+        if not live:
+            break
+        live.sort(key=lambda c: c.cur_doc)
+        theta = heap[0][0] if len(heap) >= k else -np.inf
+        # find pivot: first index where cumulative global UBs exceed theta
+        acc, pivot_idx = 0.0, -1
+        for i, c in enumerate(live):
+            acc += c.max_score
+            # >= not >: a doc scoring exactly theta can still displace the
+            # current worst via the doc_id tie-break.
+            if acc >= theta:
+                pivot_idx = i
+                break
+        if pivot_idx < 0:
+            if len(heap) >= k:
+                break
+            pivot_idx = len(live) - 1
+        pivot_doc = live[pivot_idx].cur_doc
+        if pivot_doc == big:
+            break
+
+        if use_block_max and len(heap) >= k:
+            # Block-max refinement (BMW): bound must cover EVERY cursor
+            # positioned at pivot_doc, including ones past the pivot index.
+            ext = [c for c in live if c.cur_doc <= pivot_doc]
+            blk_acc = sum(c.block_ub_at(pivot_doc) for c in ext)
+            if blk_acc < theta:  # strict: theta-ties can displace by doc_id
+                # NextShallow: docs in [pivot_doc, min block end] seen only by
+                # ext cursors are bounded by blk_acc < theta -> skippable. The
+                # jump must be clamped by the first cursor beyond pivot_doc,
+                # whose postings were NOT part of the bound.
+                nxt = min(c.block_end_at(pivot_doc) for c in ext)
+                beyond = [c.cur_doc for c in live if c.cur_doc > pivot_doc]
+                target = min(nxt + 1, min(beyond) if beyond else big)
+                target = max(target, pivot_doc + 1)  # guaranteed progress
+                for c in ext:
+                    c.seek(target)
+                continue
+
+        if live[0].cur_doc == pivot_doc:
+            # all prefix cursors aligned -> fully score pivot_doc
+            score = 0.0
+            for c in cursors:  # lexicographic order for deterministic sum
+                if c.cur_doc == pivot_doc:
+                    score += c.score_at(pivot_doc)
+            cand = (score, -pivot_doc)
+            if len(heap) < k:
+                heapq.heappush(heap, cand)
+            elif _heap_better(score, pivot_doc, heap[0]):
+                heapq.heapreplace(heap, cand)
+            for c in live:
+                if c.cur_doc == pivot_doc:
+                    c.ptr += 1
+        else:
+            # advance a cursor strictly behind the pivot (pick max-UB one);
+            # picking one already AT pivot_doc would be a no-op -> livelock
+            behind = [c for c in live[:pivot_idx] if c.cur_doc < pivot_doc]
+            adv = max(behind, key=lambda c: c.max_score)
+            adv.seek(pivot_doc)
+
+    out = [(-nd, s) for s, nd in heap]
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return out
+
+
+def exhaustive_topk_np(cursors: list[TermCursor], k: int) -> list[tuple[int, float]]:
+    """Brute-force union scoring over the same cursors (safety reference)."""
+    cursors = sorted([c for c in cursors if c.n > 0], key=lambda c: c.term)
+    if not cursors:
+        return []
+    scores: dict[int, float] = {}
+    for c in cursors:
+        for d, s in zip(c.docs.tolist(), c.scores.tolist()):
+            scores[d] = scores.get(d, 0.0) + s
+    ranked = sorted(scores.items(), key=lambda x: (-x[1], x[0]))
+    return ranked[:k]

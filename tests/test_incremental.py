@@ -1,0 +1,103 @@
+"""Incremental segment builds ≡ full rebuild (mee sync semantics reframed;
+SURVEY.md §5.2 item 5). Compared by URL since docID assignment differs
+between an incremental chain and a fresh full build."""
+
+from __future__ import annotations
+
+import pytest
+
+from mee_spark import manifest as mf
+from mee_spark.build import build_full_index, build_incremental, live_docmap
+from mee_spark.config import IndexConfig
+from mee_spark.fixtures import PAGES_SCHEMA, gen_queries, gen_snapshots_pandas
+from mee_spark.query_wand import bm25_topk_wand
+
+CFG = IndexConfig(num_doc_partitions=4, num_term_buckets=8,
+                  doc_range_size=64, block_size=16)
+N_BASE = 200
+N_QUERIES = 30
+
+
+@pytest.fixture(scope="module")
+def snaps(spark):
+    return {g: spark.createDataFrame(pdf, PAGES_SCHEMA)
+            for g, pdf in gen_snapshots_pandas(N_BASE).items()}
+
+
+def ranked_by_url(spark, index_dir, queries, gens):
+    docmap = live_docmap(spark, index_dir, gens)
+    id_to_url = {r["doc_id"]: r["url"] for r in docmap.collect()}
+    res = bm25_topk_wand(spark, index_dir, queries, CFG, round_digits=6)
+    out = {}
+    for r in res.collect():
+        out.setdefault(r["query_id"], []).append(
+            (r["rank"], id_to_url[r["doc_id"]], r["score"]))
+    for v in out.values():
+        v.sort()
+    return out
+
+
+def test_incremental_equals_full(spark, snaps, tmp_path_factory):
+    inc_dir = str(tmp_path_factory.mktemp("inc_index"))
+    full_dir = str(tmp_path_factory.mktemp("full_index"))
+    queries = gen_queries(spark, N_QUERIES)
+
+    m1 = build_full_index(spark, snaps[1], CFG, inc_dir, gen=1)
+    m2 = build_incremental(spark, snaps[2], CFG, inc_dir, gen=2)
+    m3 = build_incremental(spark, snaps[3], CFG, inc_dir, gen=3)
+    assert mf.current_gen(inc_dir) == 3
+    assert m2["metrics"]["docs_added"] > 0 and m2["metrics"]["docs_changed"] > 0
+    assert m3["metrics"]["docs_deleted"] > 0
+
+    mf_full = build_full_index(spark, snaps[3], CFG, full_dir, gen=1)
+
+    # live corpus stats agree exactly
+    assert m3["n_docs_live"] == mf_full["n_docs_live"]
+    assert m3["sum_dl_live"] == mf_full["sum_dl_live"]
+
+    inc = ranked_by_url(spark, inc_dir, queries, [1, 2, 3])
+    full = ranked_by_url(spark, full_dir, queries, [1])
+    assert set(inc) == set(full)
+    for qid in full:
+        inc_l, full_l = inc[qid], full[qid]
+        # scores must match rank-for-rank; urls must match except within
+        # exact-score tie groups (docID order differs between chains)
+        assert [s for _, _, s in inc_l] == [s for _, _, s in full_l], f"q{qid} scores"
+        by_score_inc: dict[float, set] = {}
+        by_score_full: dict[float, set] = {}
+        for (_, u, s) in inc_l:
+            by_score_inc.setdefault(s, set()).add(u)
+        for (_, u, s) in full_l:
+            by_score_full.setdefault(s, set()).add(u)
+        for s in by_score_full:
+            if len(by_score_full[s]) == len(by_score_inc.get(s, set())):
+                assert by_score_full[s] == by_score_inc[s], f"q{qid} tie group {s}"
+
+
+def test_incremental_unchanged_docs_not_reindexed(spark, snaps, tmp_path_factory):
+    """Dependency pruning (mee J6 `handlerconfig.py:303-347`): only
+    added/changed docs produce postings in the delta generation."""
+    d = str(tmp_path_factory.mktemp("inc2"))
+    build_full_index(spark, snaps[1], CFG, d, gen=1)
+    m2 = build_incremental(spark, snaps[2], CFG, d, gen=2)
+    n_delta = m2["metrics"]["docs_added"] + m2["metrics"]["docs_changed"]
+    # the delta docmap holds exactly the touched docs
+    n_rows = spark.read.parquet(f"{d}/gen=2/docmap.parquet").count()
+    assert n_rows == n_delta
+    assert n_delta < N_BASE // 2  # vastly fewer than a rebuild
+
+
+def test_deleted_docs_disappear_from_results(spark, snaps, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("inc3"))
+    build_full_index(spark, snaps[2], CFG, d, gen=1)
+    build_incremental(spark, snaps[3], CFG, d, gen=2)
+    live = {r["url"] for r in live_docmap(spark, d, [1, 2]).collect()}
+    gone = set(snaps[2].select("url").toPandas()["url"]) - set(
+        snaps[3].select("url").toPandas()["url"])
+    assert gone and not (gone & live)
+    queries = gen_queries(spark, N_QUERIES)
+    res = bm25_topk_wand(spark, d, queries, CFG)
+    docmap = live_docmap(spark, d, [1, 2])
+    id_to_url = {r["doc_id"]: r["url"] for r in docmap.collect()}
+    for r in res.collect():
+        assert id_to_url[r["doc_id"]] not in gone
