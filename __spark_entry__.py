@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship BM25 pipeline at sf0.001; ``queries`` maps
+every implemented operator (SURVEY.md §2 + the training-data pipeline
+ops) to a (spark, sf_dir) callable; ``oracle_sql`` gives the DuckDB-
+equivalent ANSI SQL for each. Column names/types are aligned pairwise —
+the driver compares row-count + schema + order-insensitive value hash.
 """
 
 from __future__ import annotations
@@ -12,27 +12,598 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from mee_spark.fixtures import QUERIES_SCHEMA
+
+# ---------------------------------------------------------------- helpers
+
+# shared tokenizer (FIXTURES.md §4) in DuckDB form — identical to
+# mee_spark.textprep.tokenize_col / py_tokenize for ASCII corpora
+def _toks(col: str) -> str:
+    return f"list_filter(regexp_split_to_array(lower({col}), '[^0-9a-z]+'), x -> x <> '')"
+
+
+def _hash15(expr: str) -> str:
+    return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
+# the reference query set for the flagship BM25 query (fixed, tiny)
+BM25_QUERIES = [
+    (0, "spark query table", 10),
+    (1, "merge join", 10),
+    (2, "stream window batch", 10),
+    (3, "customer order line", 10),
+    (4, "the", 5),
+    (5, "fast scan filter", 10),
+    (6, "group sort key value hash", 10),
+    (7, "nosuchterm xyzzy", 10),
+]
+ANN_PROBES = [0, 1, 2, 3, 4]
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mee_spark.textprep import tokenize_col
+
+    return (
+        _read(spark, sf_dir, "documents")
+        .select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+        .withColumn("tokens", tokenize_col(F.col("text")))
+        .withColumn("dl", F.size("tokens").cast("long"))
+    )
+
+
+def _queries_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(BM25_QUERIES, QUERIES_SCHEMA)
+
+
+# ------------------------------------------------------------- fulltext
+
+def q_fulltext_postings(spark, sf_dir):
+    from mee_spark.postings import build_postings
+
+    return build_postings(_docs(spark, sf_dir))
+
+
+def q_fulltext_corpus_stats(spark, sf_dir):
+    return _docs(spark, sf_dir).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(F.avg("dl"), 6).alias("avgdl"),
+    )
+
+
+def q_fulltext_term_df(spark, sf_dir):
+    from mee_spark.postings import build_postings, term_df
+
+    return term_df(build_postings(_docs(spark, sf_dir)))
+
+
+def q_fulltext_doclen(spark, sf_dir):
+    return _docs(spark, sf_dir).select("doc_id", "dl")
+
+
+def q_fulltext_bm25_topk(spark, sf_dir):
+    from mee_spark.postings import build_postings
+    from mee_spark.query import bm25_topk_exhaustive
+
+    docs = _docs(spark, sf_dir)
+    stats = docs.agg(F.count("*").alias("n"), F.avg("dl").alias("a")).collect()[0]
+    return bm25_topk_exhaustive(
+        build_postings(docs), _queries_df(spark),
+        int(stats["n"]), float(stats["a"]), k=None, round_digits=6,
+    )
+
+
+_FULLTEXT_CTE = f"""
+docs AS (SELECT doc_id, {_toks('text')} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM docs),
+doclen AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM docs),
+postings AS (
+  SELECT t.term, t.doc_id, count(*)::BIGINT AS tf, any_value(l.dl) AS dl
+  FROM tok t JOIN doclen l USING (doc_id) GROUP BY 1, 2)
+"""
+
+_BM25_VALUES = ", ".join(f"({q}, '{t}', {k})" for q, t, k in BM25_QUERIES)
+
+_BM25_SQL = f"""
+WITH {_FULLTEXT_CTE},
+qs(query_id, query_text, k) AS (VALUES {_BM25_VALUES}),
+qterms AS (SELECT DISTINCT query_id, k, unnest({_toks('query_text')}) AS term FROM qs),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM postings
+          WHERE term IN (SELECT term FROM qterms) GROUP BY 1),
+stats AS (SELECT count(*)::BIGINT AS n, avg(dl) AS avgdl FROM doclen),
+contrib AS (
+  SELECT q.query_id, q.k, p.doc_id,
+         ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+         * (p.tf * (1.2 + 1.0)) / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * p.dl / s.avgdl)) AS c
+  FROM postings p JOIN qterms q USING (term) JOIN dfreq d USING (term) CROSS JOIN stats s),
+scored AS (SELECT query_id, k, doc_id, sum(c) AS score FROM contrib GROUP BY 1, 2, 3),
+ranked AS (SELECT query_id::INT AS query_id, doc_id, round(score, 6) AS score, k,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY round(score, 6) DESC, doc_id) AS rank
+           FROM scored)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= k
+"""
+
+# ----------------------------------------------------------- text analysis
+
+def q_text_token_stats(spark, sf_dir):
+    from mee_spark.textops import token_stats
+
+    return token_stats(_docs(spark, sf_dir))
+
+
+def q_text_quality(spark, sf_dir):
+    from mee_spark.textops import quality_scores
+
+    return quality_scores(_docs(spark, sf_dir))
+
+
+def q_text_langid(spark, sf_dir):
+    from mee_spark.textops import langid
+
+    return langid(_docs(spark, sf_dir))
+
+
+def q_text_fingerprint(spark, sf_dir):
+    from mee_spark.textops import fingerprint
+
+    return fingerprint(_docs(spark, sf_dir))
+
+
+def _sql_stoplist(words) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+def _text_quality_sql() -> str:
+    from mee_spark.textops import ALL_STOPWORDS
+
+    sw = _sql_stoplist(ALL_STOPWORDS)
+    return f"""
+WITH d AS (SELECT doc_id, text, {_toks('text')} AS toks FROM documents),
+m AS (SELECT doc_id,
+  len(toks)::BIGINT AS n_tokens,
+  length(text)::BIGINT AS n_chars,
+  len(list_filter(toks, x -> list_contains({sw}, x)))::BIGINT AS stop_hits,
+  length(regexp_replace(text, '[^0-9A-Za-z]', '', 'g'))::BIGINT AS alnum
+FROM d),
+p AS (SELECT doc_id, n_tokens, n_chars,
+  floor(stop_hits * 1000000 / greatest(n_tokens, 1))::BIGINT AS stopword_ppm,
+  floor(alnum * 1000000 / greatest(n_chars, 1))::BIGINT AS alnum_ppm,
+  least(n_tokens, 100) * 10000 AS lencap_ppm
+FROM m)
+SELECT doc_id, n_tokens, n_chars, stopword_ppm, alnum_ppm,
+  floor((lencap_ppm * 2 + stopword_ppm + alnum_ppm) / 4)::BIGINT AS quality_ppm
+FROM p
+"""
+
+
+def _text_langid_sql() -> str:
+    from mee_spark.textops import STOPWORDS
+
+    langs = sorted(STOPWORDS)
+    hits = ",\n  ".join(
+        f"len(list_filter(toks, x -> list_contains({_sql_stoplist(STOPWORDS[lg])}, x)))::BIGINT AS h_{lg}"
+        for lg in langs
+    )
+    best = "greatest(" + ", ".join(f"h_{lg}" for lg in langs) + ")"
+    case = "CASE WHEN " + best + " = 0 THEN 'und' " + " ".join(
+        f"WHEN h_{lg} = {best} THEN '{lg}'" for lg in langs
+    ) + " END"
+    return f"""
+WITH d AS (SELECT doc_id, {_toks('text')} AS toks FROM documents),
+m AS (SELECT doc_id, len(toks)::BIGINT AS n,
+  {hits}
+FROM d)
+SELECT doc_id, {case} AS lang_pred,
+  round({best} / greatest(n, 1)::DOUBLE, 6) AS lang_conf
+FROM m
+"""
+
+
+# ----------------------------------------------------------------- dedup
+
+def q_dedup_exact(spark, sf_dir):
+    from mee_spark.dedup import dedup_exact
+
+    return dedup_exact(_read(spark, sf_dir, "documents"))
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    from mee_spark.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_read(spark, sf_dir, "documents"), n=3, threshold=0.15)
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    from mee_spark.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_read(spark, sf_dir, "documents"),
+                             num_hashes=16, bands=4, n=3, verify_threshold=0.15)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    from mee_spark.dedup import simhash
+
+    return simhash(_read(spark, sf_dir, "documents"))
+
+
+def q_dedup_embedding(spark, sf_dir):
+    from mee_spark.similarity import embedding_dup_pairs
+
+    return embedding_dup_pairs(_read(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+_SHINGLE_CTE = f"""
+d AS (SELECT doc_id::BIGINT AS doc_id, {_toks('text')} AS toks FROM documents),
+grams AS (
+  SELECT doc_id, unnest(list_distinct(
+    [array_to_string(toks[i:i+2], ' ') for i in range(1, greatest(len(toks) - 2, 1) + 1)]
+  )) AS gram FROM d),
+sh AS (SELECT DISTINCT doc_id, {_hash15('gram')} AS shingle FROM grams WHERE length(gram) > 0)
+"""
+
+_NGRAM_JACCARD_SQL = f"""
+WITH {_SHINGLE_CTE},
+sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM sh GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*)::BIGINT AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_id_a, doc_id_b,
+       round(c / (sa.sz + sb.sz - c)::DOUBLE, 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_id_a
+JOIN sizes sb ON sb.doc_id = doc_id_b
+WHERE round(c / (sa.sz + sb.sz - c)::DOUBLE, 6) >= 0.15
+"""
+
+_MINHASH_CTE = f"""
+hashed AS (
+  SELECT g.doc_id, i.i, {_hash15("i.i::VARCHAR || ':' || g.gram")} AS h
+  FROM (SELECT DISTINCT doc_id, gram FROM grams WHERE length(gram) > 0) g
+  CROSS JOIN (SELECT unnest(range(16)) AS i) i),
+sigs AS (
+  SELECT doc_id, list(minv ORDER BY i) AS sig
+  FROM (SELECT doc_id, i, min(h) AS minv FROM hashed GROUP BY 1, 2)
+  GROUP BY 1),
+banded AS (
+  SELECT doc_id, b.band,
+         md5(array_to_string(list_transform(sig[b.band * 4 + 1 : b.band * 4 + 4],
+                                            v -> v::VARCHAR), ',')) AS key
+  FROM sigs CROSS JOIN (SELECT unnest(range(4))::INT AS band) b)
+"""
+
+_MINHASH_LSH_SQL = f"""
+WITH {_SHINGLE_CTE},
+{_MINHASH_CTE},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM sh GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*)::BIGINT AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+verified AS (
+  SELECT doc_id_a, doc_id_b, round(c / (sa.sz + sb.sz - c)::DOUBLE, 6) AS jaccard
+  FROM common
+  JOIN sizes sa ON sa.doc_id = doc_id_a
+  JOIN sizes sb ON sb.doc_id = doc_id_b
+  WHERE round(c / (sa.sz + sb.sz - c)::DOUBLE, 6) >= 0.15)
+SELECT v.doc_id_a, v.doc_id_b, v.jaccard
+FROM cand JOIN verified v USING (doc_id_a, doc_id_b)
+"""
+
+_SIMHASH_SQL = f"""
+WITH d AS (SELECT doc_id::BIGINT AS doc_id, {_toks('text')} AS toks FROM documents),
+t AS (SELECT doc_id, {_hash15('tok')} AS h
+      FROM (SELECT doc_id, unnest(toks) AS tok FROM d)),
+bits AS (
+  SELECT doc_id, j.j,
+         sum(CASE WHEN ((h >> j.j) & 1) = 1 THEN 1 ELSE -1 END) AS s
+  FROM t CROSS JOIN (SELECT unnest(range(64))::INT AS j) j
+  GROUP BY 1, 2)
+SELECT doc_id,
+       sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS simhash
+FROM bits GROUP BY 1
+"""
+
+_COS = (
+    "list_sum(list_transform(list_zip({a}, {b}), x -> x[1]::DOUBLE * x[2]::DOUBLE)) / "
+    "(sqrt(list_sum(list_transform({a}, x -> x::DOUBLE * x::DOUBLE))) * "
+    "sqrt(list_sum(list_transform({b}, x -> x::DOUBLE * x::DOUBLE))))"
+)
+
+_EMB_DUP_SQL = f"""
+WITH e AS (SELECT vec_id::BIGINT AS vec_id, embedding FROM embeddings)
+SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+       round({_COS.format(a='a.embedding', b='b.embedding')}, 6) AS cos
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round({_COS.format(a='a.embedding', b='b.embedding')}, 6) >= 0.4
+"""
+
+# ------------------------------------------------------------- similarity
+
+def q_ann_bruteforce(spark, sf_dir):
+    from mee_spark.similarity import ann_bruteforce_topk
+
+    return ann_bruteforce_topk(_read(spark, sf_dir, "embeddings"), ANN_PROBES, k=10)
+
+
+def q_ann_lsh(spark, sf_dir):
+    from mee_spark.similarity import ann_lsh_topk
+
+    return ann_lsh_topk(_read(spark, sf_dir, "embeddings"), ANN_PROBES, k=10)
+
+
+_ANN_PROBE_LIST = ", ".join(str(p) for p in ANN_PROBES)
+
+_ANN_BRUTE_SQL = f"""
+WITH e AS (SELECT vec_id::BIGINT AS vec_id, embedding FROM embeddings),
+p AS (SELECT vec_id AS probe_id, embedding AS pvec FROM e WHERE vec_id IN ({_ANN_PROBE_LIST})),
+scored AS (
+  SELECT p.probe_id, e.vec_id,
+         round({_COS.format(a='p.pvec', b='e.embedding')}, 6) AS cos
+  FROM e CROSS JOIN p WHERE e.vec_id <> p.probe_id),
+ranked AS (SELECT probe_id, vec_id, cos,
+                  row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rank
+           FROM scored)
+SELECT probe_id, rank, vec_id, cos FROM ranked WHERE rank <= 10
+"""
+
+
+def _ann_lsh_sql() -> str:
+    from mee_spark.similarity import hyperplanes
+
+    planes = hyperplanes(64, 8, 13)
+    proj_terms = []
+    for j, plane in enumerate(planes):
+        consts = "[" + ", ".join(repr(float(c)) for c in plane) + "]::DOUBLE[]"
+        proj = (f"list_sum(list_transform(list_zip(embedding, {consts}), "
+                f"x -> x[1]::DOUBLE * x[2]))")
+        proj_terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << j} ELSE 0 END)")
+    bkt = " + ".join(proj_terms)
+    return f"""
+WITH e AS (SELECT vec_id::BIGINT AS vec_id, embedding, ({bkt})::BIGINT AS bkt FROM embeddings),
+p AS (SELECT vec_id AS probe_id, embedding AS pvec, bkt AS pbkt FROM e
+      WHERE vec_id IN ({_ANN_PROBE_LIST})),
+scored AS (
+  SELECT p.probe_id, e.vec_id,
+         round({_COS.format(a='p.pvec', b='e.embedding')}, 6) AS cos
+  FROM e JOIN p ON e.bkt = p.pbkt WHERE e.vec_id <> p.probe_id),
+ranked AS (SELECT probe_id, vec_id, cos,
+                  row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rank
+           FROM scored)
+SELECT probe_id, rank, vec_id, cos FROM ranked WHERE rank <= 10
+"""
+
+
+# ------------------------------------------------------------- relational
+
+def q_rel_lookup_join(spark, sf_dir):
+    from mee_spark.relational import lookup_join
+
+    return lookup_join(_read(spark, sf_dir, "orders"), _read(spark, sf_dir, "customer"))
+
+
+def q_rel_multihop_join(spark, sf_dir):
+    from mee_spark.relational import multihop_join
+
+    return multihop_join(
+        _read(spark, sf_dir, "lineitem"), _read(spark, sf_dir, "orders"),
+        _read(spark, sf_dir, "customer"), _read(spark, sf_dir, "nation"))
+
+
+def q_rel_nested_collect(spark, sf_dir):
+    from mee_spark.relational import nested_collect
+
+    return nested_collect(_read(spark, sf_dir, "orders"), _read(spark, sf_dir, "lineitem"))
+
+
+def q_rel_filter_predicates(spark, sf_dir):
+    from mee_spark.relational import filter_predicates
+
+    return filter_predicates(_read(spark, sf_dir, "lineitem"))
+
+
+def q_rel_decorrelated_count(spark, sf_dir):
+    from mee_spark.relational import decorrelated_count
+
+    return decorrelated_count(_read(spark, sf_dir, "customer"), _read(spark, sf_dir, "orders"))
+
+
+def q_rel_scalar_folds(spark, sf_dir):
+    from mee_spark.relational import scalar_folds
+
+    return scalar_folds(_read(spark, sf_dir, "lineitem"))
+
+
+def q_rel_topk_per_group(spark, sf_dir):
+    from mee_spark.relational import topk_per_group
+
+    return topk_per_group(_read(spark, sf_dir, "orders"))
+
+
+def q_rel_cdc_normalize(spark, sf_dir):
+    from mee_spark.relational import cdc_normalize
+
+    return cdc_normalize(_read(spark, sf_dir, "events"))
+
+
+def q_rel_diff_lag(spark, sf_dir):
+    from mee_spark.relational import diff_lag
+
+    return diff_lag(_read(spark, sf_dir, "events"))
+
+
+# ------------------------------------------------------------ the contract
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: BM25 top-k over sf0.001 documents (exhaustive path)."""
+    return q_fulltext_bm25_topk(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "fulltext_postings": q_fulltext_postings,
+        "fulltext_corpus_stats": q_fulltext_corpus_stats,
+        "fulltext_term_df": q_fulltext_term_df,
+        "fulltext_doclen": q_fulltext_doclen,
+        "fulltext_bm25_topk": q_fulltext_bm25_topk,
+        "text_token_stats": q_text_token_stats,
+        "text_quality": q_text_quality,
+        "text_langid": q_text_langid,
+        "text_fingerprint": q_text_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding": q_dedup_embedding,
+        "ann_bruteforce": q_ann_bruteforce,
+        "ann_lsh": q_ann_lsh,
+        "rel_lookup_join": q_rel_lookup_join,
+        "rel_multihop_join": q_rel_multihop_join,
+        "rel_nested_collect": q_rel_nested_collect,
+        "rel_filter_predicates": q_rel_filter_predicates,
+        "rel_decorrelated_count": q_rel_decorrelated_count,
+        "rel_scalar_folds": q_rel_scalar_folds,
+        "rel_topk_per_group": q_rel_topk_per_group,
+        "rel_cdc_normalize": q_rel_cdc_normalize,
+        "rel_diff_lag": q_rel_diff_lag,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "fulltext_postings": f"""
+WITH {_FULLTEXT_CTE}
+SELECT term, doc_id, tf, dl FROM postings
+""",
+        "fulltext_corpus_stats": f"""
+WITH {_FULLTEXT_CTE}
+SELECT count(*)::BIGINT AS n_docs, round(avg(dl), 6) AS avgdl FROM doclen
+""",
+        "fulltext_term_df": f"""
+WITH {_FULLTEXT_CTE}
+SELECT term, count(*)::BIGINT AS df FROM postings GROUP BY 1
+""",
+        "fulltext_doclen": f"""
+WITH {_FULLTEXT_CTE}
+SELECT doc_id, dl FROM doclen
+""",
+        "fulltext_bm25_topk": _BM25_SQL,
+        "text_token_stats": f"""
+WITH d AS (SELECT doc_id, {_toks('text')} AS toks FROM documents)
+SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+       len(list_distinct(toks))::BIGINT AS n_distinct,
+       round(coalesce(list_sum(list_transform(toks, x -> length(x)::DOUBLE)), 0.0)
+             / greatest(len(toks), 1), 6) AS mean_token_len
+FROM d
+""",
+        "text_quality": _text_quality_sql(),
+        "text_langid": _text_langid_sql(),
+        "text_fingerprint": f"""
+WITH d AS (SELECT doc_id, array_to_string({_toks('text')}, ' ') AS norm FROM documents)
+SELECT doc_id, md5(norm) AS fp, {_hash15('norm')} AS fp_hash FROM d
+""",
+        "dedup_exact": f"""
+WITH d AS (SELECT doc_id::BIGINT AS doc_id,
+                  {_hash15("array_to_string(" + _toks('text') + ", ' ')")} AS fp
+           FROM documents)
+SELECT min(doc_id) AS doc_id, count(*)::BIGINT AS n_dupes FROM d GROUP BY fp
+""",
+        "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
+        "dedup_minhash_lsh": _MINHASH_LSH_SQL,
+        "dedup_simhash": _SIMHASH_SQL,
+        "dedup_embedding": _EMB_DUP_SQL,
+        "ann_bruteforce": _ANN_BRUTE_SQL,
+        "ann_lsh": _ann_lsh_sql(),
+        "rel_lookup_join": """
+SELECT o.o_orderkey::BIGINT AS order_id, o.o_custkey::BIGINT AS customer_id,
+       coalesce(c.c_name, 'unknown') AS customer_name,
+       round(o.o_totalprice, 2) AS total_price
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+""",
+        "rel_multihop_join": """
+SELECT n.n_name AS nation, count(*)::BIGINT AS n_items,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY 1
+""",
+        "rel_nested_collect": """
+SELECT o.o_orderkey::BIGINT AS order_id,
+       coalesce(c.n_items, 0)::BIGINT AS n_items,
+       coalesce(c.part_keys, '') AS part_keys
+FROM orders o LEFT JOIN (
+  SELECT l_orderkey, count(*)::BIGINT AS n_items,
+         array_to_string(list_sort(list(l_partkey::BIGINT))[1:50], ',') AS part_keys
+  FROM lineitem GROUP BY 1) c ON o.o_orderkey = c.l_orderkey
+""",
+        "rel_filter_predicates": """
+SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS n_rows,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+WHERE l_returnflag <> 'R' AND l_linestatus IN ('O', 'F')
+  AND l_quantity >= 5 AND l_quantity < 45 AND l_discount > 0.01
+GROUP BY 1, 2
+""",
+        "rel_decorrelated_count": """
+SELECT c.c_custkey::BIGINT AS customer_id,
+       coalesce(o.n_open, 0)::BIGINT AS n_open_orders
+FROM customer c LEFT JOIN (
+  SELECT o_custkey, count(*)::BIGINT AS n_open FROM orders
+  WHERE o_orderstatus <> 'F' GROUP BY 1) o ON c.c_custkey = o.o_custkey
+""",
+        "rel_scalar_folds": """
+SELECT l_orderkey::BIGINT AS order_id, l_linenumber::BIGINT AS line_no,
+       round(least(l_extendedprice, l_quantity * 1000.0 + l_tax * 100.0)
+             + (-l_discount * 50.0), 6) AS folded,
+       round(abs(l_discount - l_tax), 6) AS abs_diff,
+       round(greatest(l_discount, l_tax), 6) AS max_rate
+FROM lineitem
+""",
+        "rel_topk_per_group": """
+WITH r AS (SELECT o_custkey, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_totalprice DESC, o_orderkey) AS rank
+           FROM orders)
+SELECT o_custkey::BIGINT AS customer_id, rank, o_orderkey::BIGINT AS order_id,
+       round(o_totalprice, 2) AS total_price
+FROM r WHERE rank <= 3
+""",
+        "rel_cdc_normalize": """
+WITH m AS (
+  SELECT event_id::BIGINT AS event_id,
+         CASE WHEN event_type = 'purchase' THEN 'INSERT'
+              WHEN event_type IN ('click', 'view') THEN 'UPDATE'
+              WHEN event_type = 'signup' THEN 'DELETE'
+              ELSE 'OTHER' END AS op,
+         value
+  FROM events)
+SELECT event_id, op,
+       CASE WHEN op = 'UPDATE' AND value > 10.0 THEN 'INSERT'
+            WHEN op = 'UPDATE' AND NOT (value > 10.0) THEN 'DELETE'
+            ELSE op END AS normalized_op
+FROM m WHERE op IN ('INSERT', 'UPDATE', 'DELETE')
+""",
+        "rel_diff_lag": """
+WITH l AS (
+  SELECT event_id::BIGINT AS event_id, user_id::BIGINT AS user_id, value,
+         lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events)
+SELECT event_id, user_id, round(coalesce(prev, 0.0), 6) AS prev_value,
+       CASE WHEN prev IS NULL THEN 'FIRST'
+            WHEN prev <> value THEN 'CHANGED'
+            ELSE 'SAME' END AS change
+FROM l
+""",
+    }

@@ -1,0 +1,245 @@
+"""Deduplication operators for web-scale training-data pipelines.
+
+Five dedup families, each expressed as a declarative DataFrame plan so
+Catalyst handles pushdown/pruning, and each designed to survive 100 TB:
+
+* exact        — hash-groupBy on the canonical fingerprint. One shuffle
+                 keyed by a 60-bit hash: uniform, skew-free.
+* minhash LSH  — shingle → minhash signature → band buckets → candidate
+                 pairs ONLY within buckets (never all-pairs), then exact
+                 Jaccard verify on candidates. The classic near-dup path
+                 for 10^12 docs; all-pairs never materializes.
+* simhash      — 64-bit weighted-bit fingerprint; near-dups = small
+                 hamming distance; bucketed by rotation prefix at scale.
+* n-gram Jaccard — token-shingle overlap join; the verify primitive.
+* embedding cosine — see similarity.py (shared kernel).
+
+Every hash is the md5-based ``hash15`` shared with the DuckDB oracle, so
+signatures/buckets/pairs are bit-identical across engines and testable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from mee_spark.textops import hash15
+from mee_spark.textprep import tokenize_col
+
+
+def dedup_exact(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_dupes): one survivor (min doc_id) per canonical text.
+
+    groupBy on the fingerprint hash — a single uniform shuffle; at
+    100 TB this is the cheapest possible dedup (no pairwise anything).
+    """
+    norm = F.array_join(tokenize_col(F.col("text")), " ")
+    return (
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"), hash15(norm).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").cast("long").alias("n_dupes"))
+        .select("doc_id", "n_dupes")
+    )
+
+
+def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) — distinct token n-grams, hashed to int64.
+
+    Built from JVM expressions: transform over token index windows, then
+    explode. No Python. distinct per doc (Jaccard is set-based)."""
+    toks = tokenize_col(F.col("text"))
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")
+    )
+    return (
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                    F.explode(F.array_distinct(grams)).alias("gram"))
+        .filter(F.length("gram") > 0)
+        .select("doc_id", hash15(F.col("gram")).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5) -> DataFrame:
+    """(doc_id_a, doc_id_b, jaccard) for pairs with shingle-set Jaccard
+    >= threshold, a < b.
+
+    The shingle equi-join only pairs docs SHARING a shingle — at scale
+    this is the blocking step (plus minhash banding upstream, below);
+    the join key is a uniform hash so the shuffle is skew-resistant.
+    """
+    sh = shingles(docs, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
+        .agg(F.count("*").cast("long").alias("common"))
+    )
+    return (
+        common
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_id_a", "sz": "sz_a"}), "doc_id_a")
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_id_b", "sz": "sz_b"}), "doc_id_b")
+        .withColumn("jaccard", F.round(
+            F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")).cast("double"), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_id_a", "doc_id_b", "jaccard")
+    )
+
+
+def minhash_signatures(docs: DataFrame, num_hashes: int = 16, n: int = 3) -> DataFrame:
+    """(doc_id, sig: array<long>) — minhash signature over shingles.
+
+    h_i(s) = hash15(i || ':' || shingle-gram); min per (doc, i). The
+    per-(doc, i) min is a hash aggregate with map-side partial min —
+    no skew (keys are doc-uniform)."""
+    toks = tokenize_col(F.col("text"))
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    )
+    g = (
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                    F.explode(grams).alias("gram"))
+        .filter(F.length("gram") > 0)
+    )
+    hashed = g.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+                lambda i: F.struct(
+                    i.cast("int").alias("i"),
+                    hash15(F.concat(i.cast("string"), F.lit(":"), F.col("gram"))).alias("h"),
+                ),
+            )
+        ).alias("ih"),
+    ).select("doc_id", F.col("ih.i").alias("i"), F.col("ih.h").alias("h"))
+    mins = hashed.groupBy("doc_id", "i").agg(F.min("h").alias("minv"))
+    return (
+        mins.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "minv"))).alias("s"))
+        .select("doc_id", F.transform("s", lambda x: x["minv"]).alias("sig"))
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, num_hashes: int = 16, bands: int = 4, n: int = 3,
+    verify_threshold: float = 0.5,
+) -> DataFrame:
+    """(doc_id_a, doc_id_b, jaccard): banded-LSH candidates verified by
+    exact shingle Jaccard. rows-per-band = num_hashes//bands.
+
+    Scale shape: candidates come from groupBy(band_key) — only docs
+    agreeing on a full band ever meet; verification joins are between
+    candidate pairs only. This is the 10^12-doc near-dup pipeline; the
+    all-pairs Jaccard above is its verify kernel and small-scale oracle.
+    """
+    rows = num_hashes // bands
+    sigs = minhash_signatures(docs, num_hashes, n)
+    banded = sigs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bi: F.struct(
+                    bi.cast("int").alias("band"),
+                    F.md5(F.array_join(
+                        F.transform(F.slice(F.col("sig"), bi * rows + 1, rows),
+                                    lambda v: v.cast("string")), ",")).alias("key"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    candidates = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
+        .distinct()
+    )
+    verified = ngram_jaccard_pairs(docs, n, verify_threshold)
+    return candidates.join(verified, ["doc_id_a", "doc_id_b"]).select(
+        "doc_id_a", "doc_id_b", "jaccard")
+
+
+def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
+    """(doc_id, simhash) — weighted-bit fingerprint: per bit j, sum +1/-1
+    over tokens (weight = tf via multiplicity); bit set iff sum > 0.
+
+    Plan: explode tokens → hash once per token → explode bit index →
+    conditional sum → bit-OR aggregate. All JVM-side; the groupBy keys
+    (doc_id, j) are uniform."""
+    toks = tokenize_col(F.col("text"))
+    t = docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                    F.explode(toks).alias("tok"))
+    h = t.select("doc_id", hash15(F.col("tok")).alias("h"))
+    bitsdf = h.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j"),
+        F.col("h"),
+    ).select(
+        "doc_id", "j",
+        # shiftright() builtin takes a literal shift; column shifts via SQL fn
+        F.when(F.expr("shiftright(h, j)").bitwiseAND(1) == 1, F.lit(1))
+        .otherwise(F.lit(-1)).alias("v"),
+    )
+    per_bit = bitsdf.groupBy("doc_id", "j").agg(F.sum("v").alias("s"))
+    return (
+        per_bit.withColumn(
+            "bitval",
+            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), j)"))
+            .otherwise(F.lit(0).cast("long")))
+        .groupBy("doc_id")
+        .agg(F.sum("bitval").cast("long").alias("simhash"))
+    )
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """(doc_id_a, doc_id_b, hamming) — near-dup pairs by simhash distance.
+
+    Small-scale: all-pairs on the 1-row-per-doc simhash table (tiny).
+    At 10^12 docs: band the 64 bits into (max_hamming+1) chunks — any
+    pair within distance max_hamming agrees on >=1 chunk (pigeonhole) —
+    and join per chunk; that variant is ``simhash_pairs_banded``."""
+    s = simhash(docs)
+    a, b = s.alias("a"), s.alias("b")
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_pairs_banded(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Scale path: pigeonhole banding — identical output to simhash_pairs."""
+    chunks = max_hamming + 1
+    width = 64 // chunks
+    s = simhash(docs)
+    banded = s.select(
+        "doc_id", "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(chunks - 1))).alias("c"),
+    ).withColumn(
+        "ckey",
+        F.shiftright(F.col("simhash"), (F.col("c") * width).cast("int"))
+        .bitwiseAND((1 << width) - 1),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.c") == F.col("b.c")) & (F.col("a.ckey") == F.col("b.ckey"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"),
+                F.col("a.simhash").alias("sa"), F.col("b.simhash").alias("sb"))
+        .distinct()
+    )
+    return cand.select(
+        "doc_id_a", "doc_id_b",
+        F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("long").alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)

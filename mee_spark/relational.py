@@ -1,0 +1,177 @@
+"""Relational operator parity with the reference's dataflow (SURVEY.md §2),
+expressed over the TPC-H-ish test tables.
+
+mee executes every one of these row-at-a-time over MySQL (one SELECT per
+row, `modules/handlers/v1/commonhandler.py:250-271,388-418`); here each is
+one declarative DataFrame plan — Catalyst broadcast-joins the small dims,
+pushes filters to the scan, and runs partial aggregation map-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def lookup_join(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """J1 — correlated lookup join (mee slave-item fetch,
+    `commonhandler.py:349-365`: per-master `select * … where fk=%id
+    LIMIT 1`) → a single broadcast-hash left join with the mapping
+    projection/rename (P1, `handlerconfig.py:398-439`) and null
+    defaulting (P3, `commonhandler.py:1371-1387`)."""
+    return (
+        orders.join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"], "left")
+        .select(
+            F.col("o_orderkey").cast("long").alias("order_id"),
+            F.col("o_custkey").cast("long").alias("customer_id"),
+            F.coalesce(F.col("c_name"), F.lit("unknown")).alias("customer_name"),
+            F.round(F.col("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+def multihop_join(lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+                  nation: DataFrame) -> DataFrame:
+    """J2 — multi-hop dependency join chain (mee item→item refs,
+    `handlerconfig.py:220-254`): lineitem→orders→customer→nation with a
+    grouped rollup. Dim sides broadcast; the single big-table shuffle is
+    the groupBy."""
+    return (
+        lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("revenue"),
+        )
+    )
+
+
+def nested_collect(orders: DataFrame, lineitem: DataFrame, cap: int = 50) -> DataFrame:
+    """J3/A3 — nested one-to-many array build (mee `getNestedData`,
+    `commonhandler.py:367-386`, ≤50 children `:242-248`): children
+    collected as a sorted array per parent; emitted string-joined so the
+    result is order-insensitively comparable across engines."""
+    child = lineitem.groupBy("l_orderkey").agg(
+        F.array_join(
+            F.transform(
+                F.slice(F.array_sort(F.collect_list(F.col("l_partkey").cast("long"))), 1, cap),
+                lambda x: x.cast("string")), ",").alias("part_keys"),
+        F.count("*").cast("long").alias("n_items"),
+    )
+    return (
+        orders.join(child, orders["o_orderkey"] == child["l_orderkey"], "left")
+        .select(
+            F.col("o_orderkey").cast("long").alias("order_id"),
+            F.coalesce(F.col("n_items"), F.lit(0)).cast("long").alias("n_items"),
+            F.coalesce(F.col("part_keys"), F.lit("")).alias("part_keys"),
+        )
+    )
+
+
+def filter_predicates(lineitem: DataFrame) -> DataFrame:
+    """F1 — the reference's full predicate surface (`commonhandler.py:
+    1398-1444`): ==, !=, >, >=, <, <=, IN-list, conjunction — pushed to
+    the Parquet scan by Catalyst instead of evaluated per row."""
+    return (
+        lineitem.filter(
+            (F.col("l_returnflag") != "R")
+            & F.col("l_linestatus").isin("O", "F")
+            & (F.col("l_quantity") >= 5)
+            & (F.col("l_quantity") < 45)
+            & (F.col("l_discount") > 0.01)
+        )
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count("*").cast("long").alias("n_rows"),
+             F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+    )
+
+
+def decorrelated_count(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """A1 — mee's per-row correlated COUNT subquery (`modules/handlers/
+    common.py:150-169`) decorrelated into groupBy + left join (zero-order
+    customers kept with count 0)."""
+    cnt = orders.filter(F.col("o_orderstatus") != "F").groupBy("o_custkey").agg(
+        F.count("*").cast("long").alias("n_open"))
+    return (
+        customer.join(cnt, customer["c_custkey"] == cnt["o_custkey"], "left")
+        .select(
+            F.col("c_custkey").cast("long").alias("customer_id"),
+            F.coalesce(F.col("n_open"), F.lit(0)).cast("long").alias("n_open_orders"),
+        )
+    )
+
+
+def scalar_folds(lineitem: DataFrame) -> DataFrame:
+    """A2 — the composable scalar folds sum/min/max/abs + sign
+    (`modules/handlers/common.py:43-148`), e.g. the reference's
+    `sum(min(credit_line, sum(reward,event)), -loan)` shape."""
+    return lineitem.select(
+        F.col("l_orderkey").cast("long").alias("order_id"),
+        F.col("l_linenumber").cast("long").alias("line_no"),
+        F.round(
+            F.least(F.col("l_extendedprice"),
+                    F.col("l_quantity") * 1000.0 + F.col("l_tax") * 100.0)
+            + (-F.col("l_discount") * 50.0), 6
+        ).alias("folded"),
+        F.round(F.abs(F.col("l_discount") - F.col("l_tax")), 6).alias("abs_diff"),
+        F.round(F.greatest(F.col("l_discount"), F.col("l_tax")), 6).alias("max_rate"),
+    )
+
+
+def topk_per_group(orders: DataFrame, k: int = 3) -> DataFrame:
+    """W/L — per-group top-k (the ORDER BY/limit surface the reference
+    delegates to ES relevance): row_number window, deterministic ties."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        orders.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(F.col("o_custkey").cast("long").alias("customer_id"), "rank",
+                F.col("o_orderkey").cast("long").alias("order_id"),
+                F.round(F.col("o_totalprice"), 2).alias("total_price"))
+    )
+
+
+def cdc_normalize(events: DataFrame) -> DataFrame:
+    """F3/F4 — trigger filtering + op normalization (mee `parseTrigger`
+    `modules/handlers/__init__.py:10-52` and the UPDATE filter-transition
+    rewrite `commonhandler.py:549-585`): event types map onto CDC ops;
+    an UPDATE crossing the value-threshold 'filter' becomes INSERT/DELETE."""
+    op = (
+        F.when(F.col("event_type") == "purchase", "INSERT")
+        .when(F.col("event_type") == "click", "UPDATE")
+        .when(F.col("event_type") == "view", "UPDATE")
+        .when(F.col("event_type") == "signup", "DELETE")
+        .otherwise("OTHER")  # ~X in the trigger grammar: filtered below
+    )
+    passes = F.col("value") > 10.0
+    normalized = (
+        F.when((op == "UPDATE") & passes, "INSERT")
+        .when((op == "UPDATE") & ~passes, "DELETE")
+        .otherwise(op)
+    )
+    return (
+        events.select(F.col("event_id").cast("long").alias("event_id"),
+                      op.alias("op"), normalized.alias("normalized_op"))
+        .filter(F.col("op").isin("INSERT", "UPDATE", "DELETE"))
+    )
+
+
+def diff_lag(events: DataFrame) -> DataFrame:
+    """J5/W1 — before/after diff (mee `_getDiffFields`,
+    `commonhandler.py:164-170`) + the keyset `__last` binding
+    (`commonhandler.py:254-267`) as a lag window: per user, flag events
+    whose value changed vs the previous event."""
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    prev = F.lag("value").over(w)
+    return events.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.round(F.coalesce(prev, F.lit(0.0)), 6).alias("prev_value"),
+        F.when(prev.isNull(), F.lit("FIRST"))
+        .when(prev != F.col("value"), F.lit("CHANGED"))
+        .otherwise(F.lit("SAME")).alias("change"),
+    )

@@ -1,0 +1,112 @@
+"""Text-analysis operators for training-data pipelines over `documents`.
+
+All pure JVM expressions (whole-stage codegen; no Python on the hot
+path), each with an exactly-equivalent ANSI-SQL formulation used by the
+DuckDB oracle (see __spark_entry__.oracle_sql). Shared building block:
+``hash15`` — first 15 hex chars of md5 as int64 — identical in Spark
+(`conv(substring(md5(x),1,15),16,10)`) and DuckDB
+(`('0x'||substr(md5(x),1,15))::BIGINT`), so dedup/fingerprint results
+are engine-independent and verifiable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mee_spark.textprep import tokenize_col
+
+# tiny fixed stopword sets — the lang-id heuristic signal
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "por", "con"],
+    "fr": ["le", "la", "de", "et", "un", "est", "pour", "que", "dans", "sur"],
+}
+ALL_STOPWORDS = sorted({w for ws in STOPWORDS.values() for w in ws})
+
+
+def hash15(col: Column) -> Column:
+    """Deterministic 60-bit hash shared bit-for-bit with the DuckDB oracle."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def with_tokens(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    return docs.withColumn("toks", tokenize_col(F.col(text_col)))
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, n_distinct, mean_token_len) — token counting."""
+    toks = tokenize_col(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        F.round(
+            F.aggregate(toks, F.lit(0.0), lambda acc, x: acc + F.length(x))
+            / F.greatest(F.size(toks), F.lit(1)),
+            6,
+        ).alias("mean_token_len"),
+    )
+
+
+def _hits(toks: Column, words: list[str]) -> Column:
+    return F.size(F.filter(toks, lambda x: x.isin(*words))).cast("long")
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, n_chars, stopword_ppm, alnum_ppm, quality_ppm)
+    — length/punctuation/stopword quality heuristics (training-data
+    filtering staple).
+
+    Ratios are parts-per-million computed with EXACT integer arithmetic
+    (floor of bigint products): bit-identical across engines. Rounded
+    floating ratios are a trap — weighting already-rounded 6dp values by
+    0.25 lands exactly on decimal half-boundaries where Spark's and
+    DuckDB's round() disagree on the underlying binary double.
+    quality_ppm = (2·min(n_tokens,100)·10^4 + stopword_ppm + alnum_ppm)/4,
+    i.e. weights (0.5, 0.25, 0.25), all in integers."""
+    toks = tokenize_col(F.col("text"))
+    n_tokens = F.size(toks).cast("long")
+    n_chars = F.length("text").cast("long")
+    alnum = F.length(F.regexp_replace(F.col("text"), "[^0-9A-Za-z]", "")).cast("long")
+    stop_hits = _hits(toks, ALL_STOPWORDS)
+    stop_ppm = F.floor(stop_hits * 1_000_000 / F.greatest(n_tokens, F.lit(1))).cast("long")
+    alnum_ppm = F.floor(alnum * 1_000_000 / F.greatest(n_chars, F.lit(1))).cast("long")
+    lencap_ppm = F.least(n_tokens, F.lit(100)) * 10_000
+    quality_ppm = F.floor((lencap_ppm * 2 + stop_ppm + alnum_ppm) / 4).cast("long")
+    return docs.select(
+        "doc_id", n_tokens.alias("n_tokens"), n_chars.alias("n_chars"),
+        stop_ppm.alias("stopword_ppm"), alnum_ppm.alias("alnum_ppm"),
+        quality_ppm.alias("quality_ppm"),
+    )
+
+
+def langid(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang_pred, lang_conf) — stopword-hit-ratio language ID.
+
+    argmax over per-language stopword hit counts; ties break by language
+    code ascending; zero hits everywhere -> 'und'. (The n-gram-profile
+    approach of real lang-ID collapses to this on a synthetic corpus;
+    the structure — per-lang signal columns + deterministic argmax — is
+    the same.)"""
+    toks = tokenize_col(F.col("text"))
+    hit_cols = [_hits(toks, ws).alias(f"h_{lang}") for lang, ws in sorted(STOPWORDS.items())]
+    d = docs.select("doc_id", F.size(toks).cast("long").alias("n"), *hit_cols)
+    langs = sorted(STOPWORDS)
+    best = F.greatest(*[F.col(f"h_{lg}") for lg in langs])
+    pred = F.when(best == 0, F.lit("und"))
+    for lg in langs:  # ascending order => deterministic tie-break
+        pred = pred.when(F.col(f"h_{lg}") == best, F.lit(lg))
+    conf = F.round(best / F.greatest(F.col("n"), F.lit(1)).cast("double"), 6)
+    return d.select("doc_id", pred.alias("lang_pred"), conf.alias("lang_conf"))
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """(doc_id, fp, fp_hash) — canonical document fingerprint: md5 over
+    the normalized token stream (whitespace/punct/case-insensitive), plus
+    its int64 form. The dedup-exact key."""
+    norm = F.array_join(tokenize_col(F.col("text")), " ")
+    return docs.select(
+        "doc_id", F.md5(norm).alias("fp"), hash15(norm).alias("fp_hash")
+    )
