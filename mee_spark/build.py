@@ -117,12 +117,18 @@ def build_incremental(
     resume: bool = True,
     lineage: dict | None = None,
     publish: bool = True,
+    partial: bool = False,
 ) -> dict:
     """Delta build: diff ``new_snapshot`` against the live index state.
 
     Added urls get fresh docIDs (appended past the current max); changed
     urls keep their docID (anchor unchanged) but are tombstoned+re-added;
     missing urls are tombstoned. Merged at query time — no rebuild.
+
+    ``partial=True`` treats the input as an upsert batch rather than a
+    full snapshot: urls absent from it are NOT deletions (mee's event
+    semantics — a DELETE is an explicit event, `commonhandler.py:
+    860-938`; silence says nothing). Used by the streaming path.
     """
     t0 = time.monotonic()
     if cfg.lang_filter:
@@ -142,6 +148,8 @@ def build_incremental(
                        "url", "full_outer")
     added = diff.filter(F.col("old_doc_id").isNull())
     deleted = diff.filter(F.col("text_hash").isNull())
+    if partial:
+        deleted = deleted.limit(0)
     changed = diff.filter(
         F.col("old_doc_id").isNotNull() & F.col("text_hash").isNotNull()
         & (F.col("text_hash") != F.col("old_hash"))

@@ -162,9 +162,32 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
         .distinct()
     )
-    verified = ngram_jaccard_pairs(docs, n, verify_threshold)
-    return candidates.join(verified, ["doc_id_a", "doc_id_b"]).select(
-        "doc_id_a", "doc_id_b", "jaccard")
+    # verify CANDIDATES ONLY (the whole point of LSH): restrict the shingle
+    # join to candidate pairs instead of computing all-pairs Jaccard. The
+    # candidate set is small, so it broadcasts; at 10^12 docs the all-pairs
+    # form would be impossible while this stays linear in candidates.
+    sh = shingles(docs, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("sz"))
+    cand_b = F.broadcast(candidates)
+    common = (
+        cand_b
+        .join(sh.withColumnRenamed("doc_id", "doc_id_a"), "doc_id_a")
+        # two-key equi-join: only shingles present in BOTH docs survive,
+        # i.e. |sh(a) ∩ sh(b)| rows per candidate pair
+        .join(sh.select(F.col("doc_id").alias("doc_id_b"), "shingle"),
+              ["doc_id_b", "shingle"])
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count("*").cast("long").alias("common"))
+    )
+    return (
+        common
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_id_a", "sz": "sz_a"}), "doc_id_a")
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_id_b", "sz": "sz_b"}), "doc_id_b")
+        .withColumn("jaccard", F.round(
+            F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")).cast("double"), 6))
+        .filter(F.col("jaccard") >= verify_threshold)
+        .select("doc_id_a", "doc_id_b", "jaccard")
+    )
 
 
 def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:

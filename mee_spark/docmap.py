@@ -18,7 +18,7 @@ driver data is O(num_partitions).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from mee_spark.config import IndexConfig
@@ -30,16 +30,37 @@ def assign_doc_ids(pages: DataFrame, num_partitions: int = 32,
     """Return (url, doc_id) with doc_id = start_id + dense rank of url.
 
     Fully distributed: no global window, no driver materialization beyond
-    one count per partition.
+    one count per partition. Exactly TWO shuffles (distinct, range); the
+    per-partition local rank is computed in-place with mapInPandas on the
+    already-range-sorted data (a window over the partition id would add a
+    third shuffle and recompute the chain). The result is cached: it is
+    read twice (offset count + downstream join) and at 10^12 docs the
+    url→id map must not be recomputed per consumer.
     """
-    urls = (
+    import pandas as pd
+    from pyspark import TaskContext
+
+    ranged = (
         pages.select("url").distinct()
         .repartitionByRange(num_partitions, "url")
-        .withColumn("_pid", F.spark_partition_id())
+        .sortWithinPartitions("url")
     )
-    # Tiny aggregate: one row per partition.
+
+    def attach_local_rank(batches):
+        pid = TaskContext.get().partitionId()
+        i = 0
+        for pdf in batches:
+            out = pd.DataFrame({
+                "url": pdf["url"],
+                "_pid": pid,
+                "_idx": range(i, i + len(pdf)),
+            })
+            i += len(pdf)
+            yield out
+
+    local = ranged.mapInPandas(attach_local_rank, "url string, _pid int, _idx long").cache()
     counts = {r["_pid"]: r["cnt"] for r in
-              urls.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+              local.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
     offsets, acc = {}, start_id
     for pid in sorted(counts):
         offsets[pid] = acc
@@ -50,11 +71,9 @@ def assign_doc_ids(pages: DataFrame, num_partitions: int = 32,
             [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _offset long"
         )
     )
-    w = Window.partitionBy("_pid").orderBy("url")
     return (
-        urls.join(off_df, "_pid")
-        .withColumn("doc_id", (F.col("_offset") + F.row_number().over(w) - 1).cast("long"))
-        .select("url", "doc_id")
+        local.join(off_df, "_pid")
+        .select("url", (F.col("_offset") + F.col("_idx")).cast("long").alias("doc_id"))
     )
 
 

@@ -54,19 +54,33 @@ def _zipf_weights(n: int, s: float = 1.07) -> np.ndarray:
     return w / w.sum()
 
 
+_CUM_WEIGHTS = None
+
+
+def _cum_weights() -> np.ndarray:
+    global _CUM_WEIGHTS
+    if _CUM_WEIGHTS is None:
+        _CUM_WEIGHTS = np.cumsum(_zipf_weights(VOCAB_SIZE))
+    return _CUM_WEIGHTS
+
+
 def gen_pages_pandas(n_rows: int, start_row: int = 0, seed: int = 42) -> pd.DataFrame:
     """Generate rows [start_row, start_row+n_rows) of the pages table.
 
     Per-row content depends only on the row index (independent RNG stream
     per row via seed mixing), so any contiguous slice is reproducible.
+    Zipf draws use inverse-CDF (searchsorted) — rng.choice(p=...) rebuilds
+    the CDF per call, ~30x slower, which made >100k-doc bench corpora
+    impractical to synthesize.
     """
-    weights = _zipf_weights(VOCAB_SIZE)
+    cum = _cum_weights()
     vocab = np.array([f"w{i:06d}" for i in range(VOCAB_SIZE)])
     rows = []
     for i in range(start_row, start_row + n_rows):
         rng = np.random.default_rng(seed * 1_000_003 + i)
         doclen = int(np.clip(rng.lognormal(np.log(120), 0.6), 5, 2000))
-        toks = vocab[rng.choice(VOCAB_SIZE, size=doclen, p=weights)]
+        toks = vocab[np.minimum(np.searchsorted(cum, rng.random(doclen)),
+                                VOCAB_SIZE - 1)]
         text = " ".join(toks.tolist())
         site, page = i % 97, i
         url = f"https://example-{site:04d}.test/p/{page:06d}"

@@ -1,0 +1,151 @@
+"""Compaction ≡ chain; multimodal plumbing; streaming micro-batch index."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from mee_spark import manifest as mf
+from mee_spark.build import build_full_index, build_incremental
+from mee_spark.config import IndexConfig
+from mee_spark.fixtures import PAGES_SCHEMA, gen_queries, gen_snapshots_pandas
+from mee_spark.merge import compact
+from mee_spark.multimodal import (
+    MEDIA_SCHEMA,
+    audio_frames,
+    decode_image,
+    image_features,
+    make_fake_payload,
+    media_stats,
+)
+from mee_spark.query_wand import bm25_topk_wand
+
+CFG = IndexConfig(num_doc_partitions=4, num_term_buckets=8,
+                  doc_range_size=64, block_size=16)
+
+
+def _ranked(spark, index_dir, queries):
+    out = {}
+    for r in bm25_topk_wand(spark, index_dir, queries, CFG, round_digits=6).collect():
+        out.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"], r["score"]))
+    for v in out.values():
+        v.sort()
+    return out
+
+
+def test_compaction_preserves_results(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("cmp"))
+    snaps = {g: spark.createDataFrame(pdf, PAGES_SCHEMA)
+             for g, pdf in gen_snapshots_pandas(150).items()}
+    queries = gen_queries(spark, 20)
+    build_full_index(spark, snaps[1], CFG, d, gen=1)
+    build_incremental(spark, snaps[2], CFG, d, gen=2)
+    build_incremental(spark, snaps[3], CFG, d, gen=3)
+    before = _ranked(spark, d, queries)
+    m = compact(spark, d, CFG, new_gen=4)
+    assert mf.current_gen(d) == 4
+    assert m["lineage"]["compacted_from"] == [1, 2, 3]
+    after = _ranked(spark, d, queries)
+    assert before == after
+    # compacted chain is a single generation with no tombstones
+    assert len(mf.manifest_chain(d)) == 1
+    assert not os.path.isdir(os.path.join(mf.gen_dir(d, 4), "tombstones.parquet"))
+    # GC removes the superseded generations
+    removed = mf.gc_orphans(d)
+    assert sorted(removed) == [1, 2, 3]
+    assert _ranked(spark, d, queries) == before
+
+
+# ----------------------------------------------------------- multimodal
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = []
+    for i in range(40):
+        kind = ["image", "audio", "video"][i % 3]
+        w, h, dur = (32 + i, 16 + i, 0) if kind == "image" else (0, 0, 3000 + i * 500)
+        rows.append((i, kind, f"x/{kind}", make_fake_payload(i, kind, w, h, dur),
+                     w or None, h or None, dur or None))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_real_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        decode_image(make_fake_payload(1, "image", 8, 8), fake=False)
+
+
+def test_image_features_shape_and_determinism(spark, media):
+    feats = image_features(media, fake=True).collect()
+    assert len(feats) == 14  # ids 0,3,6,...,39
+    by_id = {r["media_id"]: r for r in feats}
+    assert by_id[0]["width"] == 32 and by_id[0]["height"] == 16
+    feats2 = {r["media_id"]: r for r in image_features(media, fake=True).collect()}
+    assert {k: tuple(v) for k, v in by_id.items()} == {k: tuple(v) for k, v in feats2.items()}
+
+
+def test_audio_frame_sampling(spark, media):
+    frames = audio_frames(media, frame_ms=1000, fake=True).collect()
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r["media_id"], []).append(r["frame_idx"])
+    # media_id=1 (audio): duration 3500ms -> 3 frames
+    assert sorted(by_id[1]) == [0, 1, 2]
+
+
+def test_metadata_query_prunes_payload(spark, media, tmp_path):
+    path = str(tmp_path / "media.parquet")
+    media.write.parquet(path)
+    stats = media_stats(spark.read.parquet(path))
+    plan = stats._jdf.queryExecution().executedPlan().toString()
+    assert "payload" not in plan  # column pruned from the scan
+    assert {r["kind"] for r in stats.collect()} == {"image", "audio", "video"}
+
+
+# ------------------------------------------------------------ streaming
+
+def test_streaming_incremental_index(spark, tmp_path_factory):
+    from mee_spark.streaming import incremental_index_stream
+
+    src = str(tmp_path_factory.mktemp("stream_src"))
+    d = str(tmp_path_factory.mktemp("stream_idx"))
+    ckpt = str(tmp_path_factory.mktemp("stream_ckpt"))
+    snaps = gen_snapshots_pandas(120)
+    base = spark.createDataFrame(snaps[1], PAGES_SCHEMA)
+    base.coalesce(1).write.mode("overwrite").parquet(src)
+
+    q = incremental_index_stream(spark, src, d, CFG, ckpt, available_now=True)
+    q.awaitTermination(120)
+    assert mf.current_gen(d) == 1
+
+    # second file: the snap2 delta rows only (upsert batch)
+    snap2 = snaps[2]
+    delta = snap2[~snap2["url"].isin(set(snaps[1]["url"]))]
+    spark.createDataFrame(delta, PAGES_SCHEMA).coalesce(1).write.mode(
+        "append").parquet(src)
+    q2 = incremental_index_stream(spark, src, d, CFG, ckpt, available_now=True)
+    q2.awaitTermination(120)
+    assert mf.current_gen(d) == 2
+    m = mf.read_manifest(d, 2)
+    assert m["metrics"]["docs_added"] == len(delta)
+    assert m["metrics"]["docs_deleted"] == 0  # partial batch: no deletions
+
+    queries = gen_queries(spark, 10)
+    assert _ranked(spark, d, queries)
+
+
+def test_streaming_windowed_counts(spark, tmp_path_factory):
+    from mee_spark.fixtures import gen_pages
+    from mee_spark.streaming import read_page_stream, windowed_lang_counts
+
+    src = str(tmp_path_factory.mktemp("wsrc"))
+    gen_pages(spark, 200, num_partitions=2).write.mode("overwrite").parquet(src)
+    stream = read_page_stream(spark, src)
+    assert stream.isStreaming
+    agg = windowed_lang_counts(stream, window="1 minute", watermark="2 minutes")
+    q = (agg.writeStream.format("memory").queryName("langcounts")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("select * from langcounts").collect()
+    assert sum(r["n_pages"] for r in rows) > 0
+    assert {r["lang"] for r in rows} <= {"en", "de", "zh"}
