@@ -86,6 +86,35 @@ def q_fulltext_doclen(spark, sf_dir):
     return _docs(spark, sf_dir).select("doc_id", "dl")
 
 
+def q_fulltext_bm25_wand(spark, sf_dir):
+    """The PRODUCTION path under the oracle gate: build compressed
+    segments from the documents table, answer with block-max WAND, map
+    docIDs back through the docmap. Same SQL oracle as the exhaustive
+    path — segments+codec+WAND must reproduce textbook BM25 exactly."""
+    import tempfile
+
+    from mee_spark.build import build_full_index, live_docmap
+    from mee_spark.config import IndexConfig
+    from mee_spark.query_wand import bm25_topk_wand
+
+    cfg = IndexConfig(num_doc_partitions=8, num_term_buckets=8,
+                      doc_range_size=256, block_size=64)
+    # url = zero-padded doc_id: lexicographic url order == doc_id order,
+    # so the engine's dense-rank docIDs coincide with the table's ids
+    pages_like = _read(spark, sf_dir, "documents").select(
+        F.format_string("%012d", F.col("doc_id")).alias("url"), "text")
+    index_dir = tempfile.mkdtemp(prefix="mee_wand_ix_")
+    build_full_index(spark, pages_like, cfg, index_dir, gen=1, use_html=False)
+    res = bm25_topk_wand(spark, index_dir, _queries_df(spark), cfg, round_digits=6)
+    docmap = live_docmap(spark, index_dir, [1]).select(
+        F.col("doc_id").alias("_engine_id"),
+        F.col("url").cast("long").alias("orig_doc_id"))
+    return (
+        res.join(F.broadcast(docmap), res["doc_id"] == docmap["_engine_id"])
+        .select("query_id", "rank", F.col("orig_doc_id").alias("doc_id"), "score")
+    )
+
+
 def q_fulltext_bm25_topk(spark, sf_dir):
     from mee_spark.postings import build_postings
     from mee_spark.query import bm25_topk_exhaustive
@@ -369,10 +398,14 @@ def _ann_lsh_sql() -> str:
                 f"x -> x[1]::DOUBLE * x[2]))")
         proj_terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << j} ELSE 0 END)")
     bkt = " + ".join(proj_terms)
+    n_planes = 8
+    flip_list = ", ".join(["0"] + [str(1 << j) for j in range(n_planes)])
     return f"""
 WITH e AS (SELECT vec_id::BIGINT AS vec_id, embedding, ({bkt})::BIGINT AS bkt FROM embeddings),
-p AS (SELECT vec_id AS probe_id, embedding AS pvec, bkt AS pbkt FROM e
-      WHERE vec_id IN ({_ANN_PROBE_LIST})),
+p0 AS (SELECT vec_id AS probe_id, embedding AS pvec, bkt FROM e
+       WHERE vec_id IN ({_ANN_PROBE_LIST})),
+p AS (SELECT probe_id, pvec, xor(bkt, f.f) AS pbkt
+      FROM p0 CROSS JOIN (SELECT unnest([{flip_list}])::BIGINT AS f) f),
 scored AS (
   SELECT p.probe_id, e.vec_id,
          round({_COS.format(a='p.pvec', b='e.embedding')}, 6) AS cos
@@ -430,6 +463,12 @@ def q_rel_topk_per_group(spark, sf_dir):
     return topk_per_group(_read(spark, sf_dir, "orders"))
 
 
+def q_rel_selfjoin_roles(spark, sf_dir):
+    from mee_spark.relational import selfjoin_roles
+
+    return selfjoin_roles(_read(spark, sf_dir, "events"))
+
+
 def q_rel_cdc_normalize(spark, sf_dir):
     from mee_spark.relational import cdc_normalize
 
@@ -456,6 +495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fulltext_term_df": q_fulltext_term_df,
         "fulltext_doclen": q_fulltext_doclen,
         "fulltext_bm25_topk": q_fulltext_bm25_topk,
+        "fulltext_bm25_wand": q_fulltext_bm25_wand,
         "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
@@ -474,6 +514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_decorrelated_count": q_rel_decorrelated_count,
         "rel_scalar_folds": q_rel_scalar_folds,
         "rel_topk_per_group": q_rel_topk_per_group,
+        "rel_selfjoin_roles": q_rel_selfjoin_roles,
         "rel_cdc_normalize": q_rel_cdc_normalize,
         "rel_diff_lag": q_rel_diff_lag,
     }
@@ -498,6 +539,7 @@ WITH {_FULLTEXT_CTE}
 SELECT doc_id, dl FROM doclen
 """,
         "fulltext_bm25_topk": _BM25_SQL,
+        "fulltext_bm25_wand": _BM25_SQL,
         "text_token_stats": f"""
 WITH d AS (SELECT doc_id, {_toks('text')} AS toks FROM documents)
 SELECT doc_id, len(toks)::BIGINT AS n_tokens,
@@ -579,6 +621,16 @@ WITH r AS (SELECT o_custkey, o_orderkey, o_totalprice,
 SELECT o_custkey::BIGINT AS customer_id, rank, o_orderkey::BIGINT AS order_id,
        round(o_totalprice, 2) AS total_price
 FROM r WHERE rank <= 3
+""",
+        "rel_selfjoin_roles": """
+SELECT u.user_id::BIGINT AS user_id,
+       coalesce(p.purchase_total, 0.0) AS purchase_total,
+       coalesce(c.click_count, 0)::BIGINT AS click_count
+FROM (SELECT DISTINCT user_id FROM events) u
+LEFT JOIN (SELECT user_id, round(sum(value), 2) AS purchase_total
+           FROM events WHERE event_type = 'purchase' GROUP BY 1) p USING (user_id)
+LEFT JOIN (SELECT user_id, count(*)::BIGINT AS click_count
+           FROM events WHERE event_type = 'click' GROUP BY 1) c USING (user_id)
 """,
         "rel_cdc_normalize": """
 WITH m AS (

@@ -66,32 +66,44 @@ def build_full_index(
         pages = pages.filter(F.col("lang") == cfg.lang_filter)
     from mee_spark.textprep import tokenize_col
 
+    os.makedirs(mf.gen_dir(index_dir, gen), exist_ok=True)
     docmap = assign_doc_ids(pages, cfg.num_doc_partitions)
-    # single extraction pass feeds hash + tokens + doclen; cached because it
-    # fans out into stats, docmap file and postings
+    # single extraction pass feeds hash + tokens + doclen. The tokenized
+    # corpus is STAGED TO PARQUET, not cached: an in-memory cache of the
+    # token arrays OOMs long before web scale (it already dies at 300k
+    # docs on a 24g local heap), while a columnar staging file is SPIMI's
+    # classic on-disk run — sequential IO, memory-safe at any corpus size,
+    # and the downstream passes (stats, docmap, postings) column-prune it.
     text_col = extract_text(F.col("html")) if use_html else F.col("text")
-    docs = (
+    docs_plan = (
         pages.select("url", text_col.alias("_text"))
         .withColumn("text_hash", F.xxhash64(F.col("_text")))
         .withColumn("tokens", tokenize_col(F.col("_text")))
         .withColumn("dl", F.size("tokens").cast("long"))
         .join(docmap, "url")
         .select("doc_id", "url", "tokens", "dl", "text_hash")
-        .cache()
     )
-    stats_row = docs.agg(
-        F.count("*").alias("n"), F.sum("dl").alias("sum_dl")
-    ).collect()[0]
-    n_docs, sum_dl = int(stats_row["n"]), int(stats_row["sum_dl"] or 0)
-    avgdl = (sum_dl / n_docs) if n_docs else 0.0
+    staging = os.path.join(mf.gen_dir(index_dir, gen), "_docs_staging.parquet")
+    # observe() piggybacks the corpus stats on the staging write — one job
+    # instead of two (every extra action costs serial driver time that
+    # caps scaling efficiency)
+    from pyspark.sql import Observation
 
-    os.makedirs(mf.gen_dir(index_dir, gen), exist_ok=True)
+    obs = Observation("corpus_stats")
+    docs_plan.observe(obs, F.count(F.lit(1)).alias("n"),
+                      F.sum("dl").alias("sum_dl")).write.mode("overwrite").parquet(staging)
+    n_docs = int(obs.get["n"])
+    sum_dl = int(obs.get["sum_dl"] or 0)
+    docs = spark.read.parquet(staging)
+
     docs.select("url", "doc_id", "dl", "text_hash").write.mode("overwrite").parquet(
         _docmap_path(index_dir, gen)
     )
     postings = build_postings(docs)
     part_metrics = build_segments(postings, cfg, index_dir, gen, resume=resume)
-    docs.unpersist()
+    import shutil
+
+    shutil.rmtree(staging, ignore_errors=True)
     wall = time.monotonic() - t0
     m = mf.write_manifest(
         index_dir, gen, parent=None, n_docs_live=n_docs, sum_dl_live=sum_dl,
@@ -160,7 +172,7 @@ def build_incremental(
                                start_id=int(max_id) + 1)
     from mee_spark.textprep import tokenize_col
 
-    delta_docs = (
+    delta_plan = (
         added.join(added_ids, "url")
         .select("url", "doc_id", "_text", "text_hash")
         .unionByName(
@@ -169,8 +181,13 @@ def build_incremental(
         .withColumn("tokens", tokenize_col(F.col("_text")))
         .withColumn("dl", F.size("tokens").cast("long"))
         .select("doc_id", "url", "tokens", "dl", "text_hash")
-        .cache()
     )
+    # stage to parquet, not cache — same memory-safety stance as the full
+    # build (the delta of a 10^12-doc corpus is still huge)
+    os.makedirs(mf.gen_dir(index_dir, gen), exist_ok=True)
+    _staging = os.path.join(mf.gen_dir(index_dir, gen), "_docs_staging.parquet")
+    delta_plan.write.mode("overwrite").parquet(_staging)
+    delta_docs = spark.read.parquet(_staging)
     tombstones = (
         changed.select(F.col("old_doc_id").alias("doc_id"))
         .unionByName(deleted.select(F.col("old_doc_id").alias("doc_id")))
@@ -190,17 +207,15 @@ def build_incremental(
     n_live = prev_m["n_docs_live"] + n_delta - n_removed + 0  # changed counted in both
     # changed docs: removed old (in rem) and re-added (in delta) -> net N includes once
     sum_dl_live = prev_m["sum_dl_live"] + dl_delta - dl_removed
-    # avgdl for scoring THIS gen's blocks must be the post-merge corpus avgdl
-    avgdl = (sum_dl_live / n_live) if n_live else 0.0
-
-    os.makedirs(mf.gen_dir(index_dir, gen), exist_ok=True)
     delta_docs.select("url", "doc_id", "dl", "text_hash").write.mode("overwrite").parquet(
         _docmap_path(index_dir, gen)
     )
     tombstones.write.mode("overwrite").parquet(_tombstones_path(index_dir, gen))
     postings = build_postings(delta_docs.select("doc_id", "tokens", "dl"))
     part_metrics = build_segments(postings, cfg, index_dir, gen, resume=resume)
-    delta_docs.unpersist()
+    import shutil
+
+    shutil.rmtree(_staging, ignore_errors=True)
     wall = time.monotonic() - t0
     m = mf.write_manifest(
         index_dir, gen, parent=parent, n_docs_live=n_live, sum_dl_live=sum_dl_live,

@@ -251,7 +251,7 @@ def simhash_pairs_banded(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
         F.explode(F.sequence(F.lit(0), F.lit(chunks - 1))).alias("c"),
     ).withColumn(
         "ckey",
-        F.shiftright(F.col("simhash"), (F.col("c") * width).cast("int"))
+        F.expr(f"shiftright(simhash, CAST(c * {width} AS INT))")
         .bitwiseAND((1 << width) - 1),
     )
     a, b = banded.alias("a"), banded.alias("b")

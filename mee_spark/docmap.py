@@ -26,7 +26,8 @@ from mee_spark.textprep import extract_text, tokenize_col
 
 
 def assign_doc_ids(pages: DataFrame, num_partitions: int = 32,
-                   start_id: int = 0) -> DataFrame:
+                   start_id: int = 0,
+                   materialize_path: str | None = None) -> DataFrame:
     """Return (url, doc_id) with doc_id = start_id + dense rank of url.
 
     Fully distributed: no global window, no driver materialization beyond
@@ -71,10 +72,17 @@ def assign_doc_ids(pages: DataFrame, num_partitions: int = 32,
             [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _offset long"
         )
     )
-    return (
+    out = (
         local.join(off_df, "_pid")
         .select("url", (F.col("_offset") + F.col("_idx")).cast("long").alias("doc_id"))
     )
+    if materialize_path is not None:
+        # write once, release the in-memory cache, hand back the on-disk
+        # map — long-lived builds must not pin executor storage memory
+        out.write.mode("overwrite").parquet(materialize_path)
+        local.unpersist()
+        return spark.read.parquet(materialize_path)
+    return out
 
 
 def build_docs(pages: DataFrame, cfg: IndexConfig,

@@ -58,7 +58,9 @@ def bm25_topk_exhaustive(
     """
     qterms = explode_query_terms(queries)
     # df for the query terms only — a tiny aggregate keyed by matched terms.
-    matched = postings.join(F.broadcast(qterms.select("term").distinct()), "term")
+    # matched is consumed twice (df pass + scoring pass); cache it so the
+    # upstream tokenize/explode/groupBy chain runs once.
+    matched = postings.join(F.broadcast(qterms.select("term").distinct()), "term").cache()
     dfreq = matched.groupBy("term").agg(F.count("*").alias("df"))
     contrib = (
         matched

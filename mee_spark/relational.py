@@ -135,6 +135,26 @@ def topk_per_group(orders: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+def selfjoin_roles(events: DataFrame) -> DataFrame:
+    """J4 — self-join by role (mee: two config items on the same
+    `auditor_relations` table with different `role` predicates,
+    `conf/handlers/index_carteam_user.yml:69,90`): two filtered
+    projections of ONE table, both joined to the master key."""
+    purchases = events.filter(F.col("event_type") == "purchase").groupBy("user_id").agg(
+        F.round(F.sum("value"), 2).alias("purchase_total"))
+    clicks = events.filter(F.col("event_type") == "click").groupBy("user_id").agg(
+        F.count("*").cast("long").alias("click_count"))
+    users = events.select("user_id").distinct()
+    return (
+        users.join(purchases, "user_id", "left").join(clicks, "user_id", "left")
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.coalesce(F.col("purchase_total"), F.lit(0.0)).alias("purchase_total"),
+            F.coalesce(F.col("click_count"), F.lit(0)).cast("long").alias("click_count"),
+        )
+    )
+
+
 def cdc_normalize(events: DataFrame) -> DataFrame:
     """F3/F4 — trigger filtering + op normalization (mee `parseTrigger`
     `modules/handlers/__init__.py:10-52` and the UPDATE filter-transition

@@ -73,15 +73,25 @@ def lsh_bucket_col(vec: Column, planes: np.ndarray) -> Column:
 
 
 def ann_lsh_topk(emb: DataFrame, probe_ids: list[int], k: int = 10,
-                 n_planes: int = 8, seed: int = 13, dim: int = 64) -> DataFrame:
+                 n_planes: int = 8, seed: int = 13, dim: int = 64,
+                 multi_probe: bool = True) -> DataFrame:
     """LSH-bucketed ANN: candidates share the probe's bucket; exact cosine
     re-rank inside. At 10^12 vectors the bucket groupBy replaces the
-    cross join — cost drops from O(N·P) to O(N/2^planes · P) per probe."""
+    cross join — cost drops from O(N·P) to O(N/2^planes · P) per probe.
+
+    ``multi_probe`` additionally probes every bucket at hamming distance
+    1 from the probe's own (flip each plane's sign bit): near neighbors
+    that straddle one hyperplane are recovered at (planes+1)x candidate
+    cost — the standard recall lever without more tables."""
     planes = hyperplanes(dim, n_planes, seed)
     bucketed = emb.withColumn("bkt", lsh_bucket_col(F.col("embedding"), planes))
     probes = bucketed.filter(F.col("vec_id").isin([int(p) for p in probe_ids])).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pvec"),
         F.col("bkt").alias("pbkt"))
+    if multi_probe:
+        flips = F.array(F.lit(0), *[F.lit(1 << j) for j in range(n_planes)])
+        probes = probes.withColumn(
+            "pbkt", F.explode(F.transform(flips, lambda m: F.col("pbkt").bitwiseXOR(m))))
     scored = (
         bucketed.join(F.broadcast(probes), F.col("bkt") == F.col("pbkt"))
         .filter(F.col("vec_id") != F.col("probe_id"))

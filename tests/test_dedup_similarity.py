@@ -1,0 +1,82 @@
+"""Property tests for dedup/similarity scale paths: banded variants must
+agree with their exact counterparts; LSH must have measured recall."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mee_spark.dedup import (
+    dedup_exact,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+    simhash_pairs_banded,
+)
+from mee_spark.similarity import ann_bruteforce_topk, ann_lsh_topk
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    # add exact dups + near-dups so dedup has real positives
+    dups = base.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 10_000).alias("doc_id"), "text", "lang", "source", "n_chars")
+    near = base.filter((F.col("doc_id") >= 10) & (F.col("doc_id") < 20)).select(
+        (F.col("doc_id") + 20_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail tail tail")).alias("text"),
+        "lang", "source", "n_chars")
+    return base.unionByName(dups).unionByName(near).cache()
+
+
+def test_dedup_exact_finds_planted_dups(spark, docs):
+    res = dedup_exact(docs).filter(F.col("n_dupes") > 1).collect()
+    survivors = {r["doc_id"] for r in res}
+    assert set(range(10)) <= survivors          # originals survive (min id)
+    assert all(r["n_dupes"] == 2 for r in res)
+
+
+def test_minhash_candidates_catch_exact_dups(spark, docs):
+    pairs = {(r["doc_id_a"], r["doc_id_b"])
+             for r in minhash_lsh_pairs(docs, verify_threshold=0.9).collect()}
+    for i in range(10):
+        assert (i, i + 10_000) in pairs  # identical docs always band together
+
+
+def test_minhash_subset_of_true_jaccard(spark, docs):
+    lsh = {(r["doc_id_a"], r["doc_id_b"], r["jaccard"])
+           for r in minhash_lsh_pairs(docs, verify_threshold=0.5).collect()}
+    true = {(r["doc_id_a"], r["doc_id_b"], r["jaccard"])
+            for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert lsh <= true  # verification guarantees no false positives
+    # recall on high-similarity pairs (identical docs band with prob 1)
+    high = {t for t in true if t[2] >= 0.99}
+    assert high <= lsh
+
+
+def test_simhash_banded_equals_allpairs(spark, docs):
+    ap = {(r["doc_id_a"], r["doc_id_b"], r["hamming"])
+          for r in simhash_pairs(docs, max_hamming=6).collect()}
+    bd = {(r["doc_id_a"], r["doc_id_b"], r["hamming"])
+          for r in simhash_pairs_banded(docs, max_hamming=6).collect()}
+    assert ap == bd  # pigeonhole banding is lossless
+    assert any(h == 0 for _, _, h in ap)  # planted exact dups at distance 0
+
+
+def test_ann_lsh_results_subset_and_recall(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    probes = list(range(10))
+    brute = {}
+    for r in ann_bruteforce_topk(emb, probes, k=10).collect():
+        brute.setdefault(r["probe_id"], set()).add(r["vec_id"])
+    lsh_hits = 0
+    total = 0
+    for r in ann_lsh_topk(emb, probes, k=10, n_planes=4, multi_probe=True).collect():
+        if r["vec_id"] in brute.get(r["probe_id"], set()):
+            lsh_hits += 1
+        total += 1
+    assert total > 0
+    recall = lsh_hits / (10 * len(probes))
+    # 4 planes -> 16 buckets over 500 vecs; bucketed search must still
+    # find a reasonable share of true neighbors
+    assert recall >= 0.35, f"LSH recall {recall}"
