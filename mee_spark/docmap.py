@@ -7,6 +7,13 @@ identity anchor, mirroring mee's anchor-field semantics
 (`modules/handlers/handlerconfig.py:528-568`: a changed anchor is
 delete+reinsert).
 
+URL-ordered docIDs are also the classic document-reordering heuristic
+(cf. "Document Reordering for Faster Intersection", VLDB 2019): pages of
+the same site sort adjacently, their shared vocabulary clusters, posting
+gaps shrink (better varbyte compression) and block-max bounds tighten
+(better WAND skipping). We get the reordering win for free from the
+identity contract.
+
 Scale note: a naive ``dense_rank`` over a global ``Window.orderBy`` would
 collapse to ONE partition — unusable at 10^12 docs. Instead we use the
 classic scalable global-ordering pattern: range-repartition by url, sort

@@ -131,9 +131,12 @@ def bm25_topk_wand(
         return spark.createDataFrame([], "query_id int, rank long, doc_id long, score double")
     buckets = _term_buckets(spark, terms, cfg.num_term_buckets)
 
+    # cached: the pruned scan (query terms only — tiny next to the index)
+    # feeds both the df aggregation and the scoring join
     segs = (
         read_segments(spark, index_dir, gens)
         .filter(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
+        .cache()
     )
     tombs = _tombstone_masks(spark, index_dir, gens)
 

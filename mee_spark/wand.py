@@ -87,13 +87,20 @@ def _heap_better(score: float, doc_id: int, worst: tuple) -> bool:
 
 
 def wand_topk(cursors: list[TermCursor], k: int,
-              use_block_max: bool = True) -> list[tuple[int, float]]:
+              use_block_max: bool = True,
+              stats: dict | None = None) -> list[tuple[int, float]]:
     """-> [(doc_id, score)] ranked (score desc, doc_id asc), len <= k.
 
     ``cursors`` is one TermCursor per distinct query term present in the
-    index (missing/OOV terms simply have no cursor).
+    index (missing/OOV terms simply have no cursor). Pass a dict as
+    ``stats`` to collect pruning counters: ``docs_scored`` (full BM25
+    evaluations) vs ``total_postings`` (what exhaustive scoring pays).
     """
     cursors = [c for c in cursors if c.n > 0]
+    if stats is not None:
+        stats.setdefault("docs_scored", 0)
+        stats.setdefault("total_postings", 0)
+        stats["total_postings"] += sum(c.n for c in cursors)
     if not cursors or k <= 0:
         return []
     cursors.sort(key=lambda c: c.term)  # fixed scoring order
@@ -143,6 +150,8 @@ def wand_topk(cursors: list[TermCursor], k: int,
 
         if live[0].cur_doc == pivot_doc:
             # all prefix cursors aligned -> fully score pivot_doc
+            if stats is not None:
+                stats["docs_scored"] += 1
             score = 0.0
             for c in cursors:  # lexicographic order for deterministic sum
                 if c.cur_doc == pivot_doc:
