@@ -69,6 +69,56 @@ def incremental_index_stream(
     return writer.start()
 
 
+def stateful_url_dedup(pages_stream: DataFrame,
+                       timeout_minutes: int | None = None) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: emit each url
+    at most once across ALL micro-batches (a streaming exact-dedup front
+    for the indexer — the at-least-once event stream becomes
+    effectively-once, mee's T2 concern `basecosumerservice.py:36-53`).
+
+    State per url-hash-prefix group = the set of seen url hashes. Keys
+    are a 12-bit hash prefix so state shards evenly across executors and
+    each group's state stays small relative to the corpus (at 10^12 docs
+    you would raise the prefix width and/or switch the per-group set to
+    a Bloom filter — the operator shape is identical).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    keyed = pages_stream.withColumn(
+        "shard", F.pmod(F.xxhash64("url"), F.lit(4096)).cast("int"))
+
+    out_schema = ("shard int, url string, warc_ts timestamp, html binary, "
+                  "text string, lang string")
+    state_schema = "seen array<long>"
+
+    def dedup(key, pdfs, state):
+        seen = set(state.get[0]) if state.exists else set()
+        outs = []
+        for pdf in pdfs:
+            # deterministic vectorized 64-bit url hash (fixed pandas hash key)
+            h = pd.util.hash_array(pdf["url"].to_numpy(dtype=object)).astype("int64")
+            # single pass: dedup against state AND within the batch
+            fresh_mask = []
+            for x in h:
+                xi = int(x)
+                if xi in seen:
+                    fresh_mask.append(False)
+                else:
+                    seen.add(xi)
+                    fresh_mask.append(True)
+            new = pdf[pd.Series(fresh_mask, index=pdf.index).to_numpy()]
+            if len(new):
+                outs.append(new)
+        state.update((list(seen),))
+        if outs:
+            yield pd.concat(outs)
+
+    return keyed.groupBy("shard").applyInPandasWithState(
+        dedup, out_schema, state_schema, "append",
+        GroupStateTimeout.NoTimeout)
+
+
 def windowed_lang_counts(pages_stream: DataFrame, window: str = "1 minute",
                          watermark: str = "2 minutes") -> DataFrame:
     """Watermarked tumbling-window counts by language — late rows beyond
