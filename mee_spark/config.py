@@ -54,5 +54,6 @@ class IndexConfig:
     num_doc_partitions: int = 32
     head_term_df_threshold: int = 1 << 16
     salt_buckets: int = 16
+    wand_min_postings: int = 1 << 16
     lang_filter: str | None = None
     extra_spark_conf: dict = field(default_factory=dict)

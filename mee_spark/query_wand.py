@@ -43,7 +43,7 @@ from mee_spark.codec import decode_postings
 from mee_spark.config import IndexConfig
 from mee_spark.query import explode_query_terms
 from mee_spark.segments import read_segments
-from mee_spark.wand import TermCursor, wand_topk
+from mee_spark.wand import TermCursor, exhaustive_topk_vec, wand_topk
 
 _LOCAL_SCHEMA = "query_id int, k int, doc_id long, score double"
 
@@ -71,37 +71,68 @@ def _tombstone_masks(spark: SparkSession, index_dir: str, gens: list[int]):
 
 
 def _make_scorer(df_map: dict, n_docs: int, avgdl: float, tombs: dict,
-                 k1: float, b: float, use_block_max: bool):
+                 k1: float, b: float, use_block_max: bool,
+                 wand_min_postings: int = 1 << 16):
+    """Scorer for one docID range, ALL queries at once.
+
+    Grouping by range (not (query, range)) turns q·ranges tiny Arrow
+    groups into `ranges` medium ones — far less per-group overhead — and
+    lets each (term, gen) posting row be DECODED ONCE and shared by every
+    query containing the term (head terms appear in many queries).
+    TermCursor traversal state is per-query, so cursors are rebuilt
+    cheaply from the shared decoded arrays."""
+
     def score_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        qid = int(key[0])
-        k = int(pdf["k"].iloc[0])
-        cursors = []
-        for row in pdf.itertuples():
-            docs, tfs, dls = decode_postings(row._asdict() if hasattr(row, "_asdict") else row)
-            # mask postings of docs tombstoned in any LATER generation
+        decoded: dict[tuple, tuple | None] = {}
+        for row in pdf.drop_duplicates(subset=["term", "gen"]).itertuples():
+            docs, tfs, dls = decode_postings(row)
             gen = int(row.gen)
             dead = [ids for g, ids in tombs.items() if g > gen]
             if dead:
-                dead_all = np.concatenate(dead)
-                keep = ~np.isin(docs, dead_all)
+                keep = ~np.isin(docs, np.concatenate(dead))
                 if not keep.all():
                     docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
             if len(docs) == 0:
+                decoded[(row.term, gen)] = None
                 continue
             idf = idf_np(float(df_map[row.term]), n_docs)
-            cursors.append(TermCursor(
-                f"{row.term}\x00{gen}", docs, tfs, dls, idf, avgdl,
+            decoded[(row.term, gen)] = (
+                docs, tfs, dls, idf,
                 np.asarray(row.block_last_doc), np.asarray(row.block_max_tf),
-                np.asarray(row.block_min_dl), k1, b,
-            ))
-        # cursor term keys embed the gen so a changed doc's postings live in
-        # exactly one cursor per (term, gen); lexicographic sort keeps the
-        # scoring order deterministic
-        top = wand_topk(cursors, k, use_block_max=use_block_max)
-        return pd.DataFrame(
-            {"query_id": qid, "k": k, "doc_id": [d for d, _ in top],
-             "score": [s for _, s in top]}
-        )
+                np.asarray(row.block_min_dl),
+            )
+        out = []
+        qmeta = pdf[["query_id", "k", "term", "gen"]]
+        for qid, sub in qmeta.groupby("query_id", sort=True):
+            k = int(sub["k"].iloc[0])
+            cursors = []
+            for term, gen in zip(sub["term"], sub["gen"]):
+                payload = decoded[(term, int(gen))]
+                if payload is None:
+                    continue
+                docs, tfs, dls, idf, bl, btf, bdl = payload
+                # term key embeds the gen: a changed doc's postings live in
+                # exactly one (term, gen) cursor; lexicographic sort keeps
+                # the scoring order deterministic
+                cursors.append(TermCursor(f"{term}\x00{gen}", docs, tfs, dls,
+                                          idf, avgdl, bl, btf, bdl, k1, b))
+            # hybrid: vectorized exhaustive for range-bounded small lists,
+            # block-max WAND where skipping wins (identical results; see
+            # wand.exhaustive_topk_vec docstring)
+            if sum(c.n for c in cursors) < wand_min_postings:
+                top = exhaustive_topk_vec(cursors, k)
+            else:
+                top = wand_topk(cursors, k, use_block_max=use_block_max)
+            if top:
+                out.append(pd.DataFrame(
+                    {"query_id": int(qid), "k": k,
+                     "doc_id": [d for d, _ in top], "score": [s for _, s in top]}))
+        if not out:
+            return pd.DataFrame({"query_id": pd.Series(dtype="int32"),
+                                 "k": pd.Series(dtype="int32"),
+                                 "doc_id": pd.Series(dtype="int64"),
+                                 "score": pd.Series(dtype="float64")})
+        return pd.concat(out, ignore_index=True)
 
     return score_group
 
@@ -163,9 +194,17 @@ def bm25_topk_wand(
         df_rows = segs.groupBy("term").agg(F.sum("df_local").alias("df")).collect()
     df_map = {r["term"]: int(r["df"]) for r in df_rows}
 
-    joined = segs.join(F.broadcast(qterms), "term")
-    scorer = _make_scorer(df_map, n_docs, avgdl, tombs, cfg.k1, cfg.b, use_block_max)
-    local = joined.groupBy("query_id", "range_id").applyInPandas(scorer, _LOCAL_SCHEMA)
+    # parallelism = ranges x query-shards: sharding the query batch keeps
+    # big batches parallel even over few ranges, while queries within a
+    # shard still share each (term, gen) decode
+    n_qshards = max(1, min(8, queries.count()))
+    joined = (
+        segs.join(F.broadcast(qterms), "term")
+        .withColumn("_qshard", F.pmod(F.col("query_id"), F.lit(n_qshards)))
+    )
+    scorer = _make_scorer(df_map, n_docs, avgdl, tombs, cfg.k1, cfg.b,
+                          use_block_max, cfg.wand_min_postings)
+    local = joined.groupBy("range_id", "_qshard").applyInPandas(scorer, _LOCAL_SCHEMA)
 
     score_key = (
         F.round(F.col("score"), round_digits) if round_digits is not None else F.col("score")

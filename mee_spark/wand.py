@@ -176,6 +176,31 @@ def wand_topk(cursors: list[TermCursor], k: int,
     return out
 
 
+def exhaustive_topk_vec(cursors: list[TermCursor], k: int) -> list[tuple[int, float]]:
+    """Fully-vectorized exhaustive union scoring — identical results to
+    wand_topk (same float summation order: terms accumulate per doc in
+    lexicographic cursor order via the stable sort).
+
+    Why it exists: docID-range partitioning bounds every in-task posting
+    list, and below ~10^5 postings a numpy pass (~50M ops/s) beats the
+    Python pointer-walk of WAND even when WAND skips 90% of docs. The
+    scorer picks per (query, range): vectorized under the threshold,
+    block-max WAND above it (where skipping dominates)."""
+    cursors = sorted([c for c in cursors if c.n > 0], key=lambda c: c.term)
+    if not cursors or k <= 0:
+        return []
+    all_docs = np.concatenate([c.docs for c in cursors])
+    all_scores = np.concatenate([c.scores for c in cursors])
+    order = np.argsort(all_docs, kind="stable")  # stable: keeps term order per doc
+    d = all_docs[order]
+    s = all_scores[order]
+    starts = np.flatnonzero(np.concatenate(([True], d[1:] != d[:-1])))
+    sums = np.add.reduceat(s, starts)
+    uniq = d[starts]
+    top = np.lexsort((uniq, -sums))[:k]  # (score desc, doc_id asc)
+    return [(int(uniq[i]), float(sums[i])) for i in top]
+
+
 def exhaustive_topk_np(cursors: list[TermCursor], k: int) -> list[tuple[int, float]]:
     """Brute-force union scoring over the same cursors (safety reference)."""
     cursors = sorted([c for c in cursors if c.n > 0], key=lambda c: c.term)

@@ -90,6 +90,13 @@ def test_wand_equals_exhaustive_spark(built, spark):
     wnd = collect_ranked(bm25_topk_wand(
         spark, built["index_dir"], built["queries"], CFG, round_digits=6))
     assert exh == wnd
+    # force the pure block-max WAND path (no vectorized fast path): identical
+    import dataclasses
+
+    cfg_wand = dataclasses.replace(CFG, wand_min_postings=0)
+    wnd2 = collect_ranked(bm25_topk_wand(
+        spark, built["index_dir"], built["queries"], cfg_wand, round_digits=6))
+    assert exh == wnd2
 
 
 def test_resume_from_checkpoint(built, spark, tmp_path):
