@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from mee_spark import manifest as mf
 from mee_spark.config import IndexConfig
-from mee_spark.docmap import assign_doc_ids, build_docs
+from mee_spark.docmap import assign_doc_ids
 from mee_spark.postings import build_postings
 from mee_spark.segments import build_segments
 from mee_spark.textprep import extract_text

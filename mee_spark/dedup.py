@@ -20,7 +20,7 @@ signatures/buckets/pairs are bit-identical across engines and testable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from mee_spark.textops import hash15

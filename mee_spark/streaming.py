@@ -69,8 +69,7 @@ def incremental_index_stream(
     return writer.start()
 
 
-def stateful_url_dedup(pages_stream: DataFrame,
-                       timeout_minutes: int | None = None) -> DataFrame:
+def stateful_url_dedup(pages_stream: DataFrame) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: emit each url
     at most once across ALL micro-batches (a streaming exact-dedup front
     for the indexer — the at-least-once event stream becomes
