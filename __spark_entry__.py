@@ -365,6 +365,15 @@ def q_ann_bruteforce(spark, sf_dir):
     return ann_bruteforce_topk(_read(spark, sf_dir, "embeddings"), ANN_PROBES, k=10)
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF ANN (rows-only driver check: the k-means centroids would need
+    1024 inline constants in SQL; quality is gated by the recall-vs-brute
+    test in tests/test_dedup_similarity.py instead)."""
+    from mee_spark.similarity import ann_ivf_topk
+
+    return ann_ivf_topk(_read(spark, sf_dir, "embeddings"), ANN_PROBES, k=10)
+
+
 def q_ann_lsh(spark, sf_dir):
     from mee_spark.similarity import ann_lsh_topk
 
@@ -507,6 +516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "rel_lookup_join": q_rel_lookup_join,
         "rel_multihop_join": q_rel_multihop_join,
         "rel_nested_collect": q_rel_nested_collect,

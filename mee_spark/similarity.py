@@ -18,8 +18,11 @@ vec_id bigint, embedding array<float>, label int).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import IntegerType
 
 
 def cosine_col(a: Column, b: Column) -> Column:
@@ -94,6 +97,87 @@ def ann_lsh_topk(emb: DataFrame, probe_ids: list[int], k: int = 10,
             "pbkt", F.explode(F.transform(flips, lambda m: F.col("pbkt").bitwiseXOR(m))))
     scored = (
         bucketed.join(F.broadcast(probes), F.col("bkt") == F.col("pbkt"))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "vec_id",
+                F.round(cosine_col(F.col("pvec"), F.col("embedding")), 6).alias("cos"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(F.col("probe_id").cast("long"), "rank", F.col("vec_id").cast("long"), "cos")
+    )
+
+
+def kmeans_centroids(sample: np.ndarray, n_centroids: int, iters: int = 8,
+                     seed: int = 29) -> np.ndarray:
+    """Deterministic spherical k-means (numpy Lloyd) on a driver-side
+    sample — trains the IVF coarse quantizer. At 10^12 vectors you train
+    on the same kind of fixed-size sample; only assignment is distributed."""
+    rng = np.random.default_rng(seed)
+    x = sample.astype(np.float64)
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    cent = x[rng.choice(len(x), size=n_centroids, replace=False)]
+    for _ in range(iters):
+        sims = x @ cent.T
+        assign = sims.argmax(axis=1)
+        for c in range(n_centroids):
+            members = x[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                cent[c] = v / max(np.linalg.norm(v), 1e-12)
+    return cent
+
+
+def ivf_assign_col(vec, centroids: np.ndarray):
+    """pandas_udf: nearest-centroid id per vector (Arrow-vectorized —
+    64-dim×n_centroids argmax is one matmul per batch)."""
+    cent = centroids
+
+    @pandas_udf(IntegerType())
+    def assign(col: pd.Series) -> pd.Series:
+        m = np.stack(col.to_numpy())
+        m = m.astype(np.float64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return pd.Series((m @ cent.T).argmax(axis=1).astype("int32"))
+
+    return assign(vec)
+
+
+def ann_ivf_topk(emb: DataFrame, probe_ids: list[int], k: int = 10,
+                 n_centroids: int = 16, nprobe: int = 4, seed: int = 29,
+                 train_sample: int = 2048) -> DataFrame:
+    """IVF ANN: coarse-quantize the corpus into centroid cells; each probe
+    searches only its ``nprobe`` nearest cells with exact cosine re-rank.
+
+    Scale path #2 next to hyperplane LSH: cost per probe drops from O(N)
+    to O(N·nprobe/n_centroids). Cells are data-adaptive (k-means), so
+    recall beats data-oblivious hyperplanes at equal candidate budgets.
+    Training is a driver-side numpy Lloyd on a fixed-size sample;
+    assignment is a vectorized Arrow UDF (one matmul per batch)."""
+    sample_pd = emb.select("embedding").limit(train_sample).toPandas()
+    cent = kmeans_centroids(np.stack(sample_pd["embedding"].to_numpy()),
+                            n_centroids, seed=seed)
+    assigned = emb.withColumn("cell", ivf_assign_col(F.col("embedding"), cent))
+    probes_pd = (
+        assigned.filter(F.col("vec_id").isin([int(p) for p in probe_ids]))
+        .select("vec_id", "embedding").toPandas()
+    )
+    pm = np.stack(probes_pd["embedding"].to_numpy()).astype(np.float64)
+    pm = pm / np.maximum(np.linalg.norm(pm, axis=1, keepdims=True), 1e-12)
+    near = np.argsort(-(pm @ cent.T), axis=1)[:, :nprobe]
+    probe_cells = [(int(v), [int(c) for c in cells])
+                   for v, cells in zip(probes_pd["vec_id"], near)]
+    spark = emb.sparkSession
+    pc = F.broadcast(spark.createDataFrame(
+        [(v, c) for v, cells in probe_cells for c in cells],
+        "probe_id long, cell int"))
+    pvec = F.broadcast(
+        emb.filter(F.col("vec_id").isin([int(p) for p in probe_ids]))
+        .select(F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pvec")))
+    scored = (
+        assigned.join(pc, "cell")
+        .join(pvec, "probe_id")
         .filter(F.col("vec_id") != F.col("probe_id"))
         .select("probe_id", "vec_id",
                 F.round(cosine_col(F.col("pvec"), F.col("embedding")), 6).alias("cos"))

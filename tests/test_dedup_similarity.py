@@ -80,3 +80,23 @@ def test_ann_lsh_results_subset_and_recall(spark):
     # 4 planes -> 16 buckets over 500 vecs; bucketed search must still
     # find a reasonable share of true neighbors
     assert recall >= 0.35, f"LSH recall {recall}"
+
+
+def test_ann_ivf_recall_beats_or_matches_lsh(spark):
+    from mee_spark.similarity import ann_ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    probes = list(range(10))
+    brute = {}
+    for r in ann_bruteforce_topk(emb, probes, k=10).collect():
+        brute.setdefault(r["probe_id"], set()).add(r["vec_id"])
+    hits = 0
+    res = ann_ivf_topk(emb, probes, k=10, n_centroids=16, nprobe=4).collect()
+    for r in res:
+        if r["vec_id"] in brute.get(r["probe_id"], set()):
+            hits += 1
+    recall = hits / (10 * len(probes))
+    assert recall >= 0.35, f"IVF recall {recall}"
+    # determinism: same seed -> same results
+    res2 = ann_ivf_topk(emb, probes, k=10, n_centroids=16, nprobe=4).collect()
+    assert sorted(map(tuple, res)) == sorted(map(tuple, res2))
