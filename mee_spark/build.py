@@ -94,13 +94,34 @@ def build_full_index(
                       F.sum("dl").alias("sum_dl")).write.mode("overwrite").parquet(staging)
     n_docs = int(obs.get["n"])
     sum_dl = int(obs.get["sum_dl"] or 0)
+    # the staging write was the last consumer of the cached url→id map;
+    # release it or repeated builds in one session pin executor storage
+    for _c in getattr(docmap, "_cached_deps", []):
+        _c.unpersist()
     docs = spark.read.parquet(staging)
 
-    docs.select("url", "doc_id", "dl", "text_hash").write.mode("overwrite").parquet(
-        _docmap_path(index_dir, gen)
-    )
+    # docmap write and segment build are independent reads of the staging
+    # file — run them as CONCURRENT Spark jobs (separate driver thread) so
+    # the small docmap write hides inside the big segment shuffle instead
+    # of adding a serial job to the build's Amdahl floor.
+    import threading
+
+    _docmap_err: list[BaseException] = []
+
+    def _write_docmap() -> None:
+        try:
+            docs.select("url", "doc_id", "dl", "text_hash").write.mode(
+                "overwrite").parquet(_docmap_path(index_dir, gen))
+        except BaseException as e:  # surfaced after join()
+            _docmap_err.append(e)
+
+    dm_thread = threading.Thread(target=_write_docmap, daemon=True)
+    dm_thread.start()
     postings = build_postings(docs)
     part_metrics = build_segments(postings, cfg, index_dir, gen, resume=resume)
+    dm_thread.join()
+    if _docmap_err:
+        raise _docmap_err[0]
     import shutil
 
     shutil.rmtree(staging, ignore_errors=True)
@@ -168,8 +189,11 @@ def build_incremental(
     )
 
     max_id = prev.agg(F.max("doc_id")).collect()[0][0]
+    # a fully-deleted parent generation has no live docs: max() is NULL and
+    # fresh ids restart at 0 (nothing live to collide with)
+    start_id = int(max_id) + 1 if max_id is not None else 0
     added_ids = assign_doc_ids(added.select(F.col("url")), cfg.num_doc_partitions,
-                               start_id=int(max_id) + 1)
+                               start_id=start_id)
     from mee_spark.textprep import tokenize_col
 
     delta_plan = (
@@ -183,10 +207,18 @@ def build_incremental(
         .select("doc_id", "url", "tokens", "dl", "text_hash")
     )
     # stage to parquet, not cache — same memory-safety stance as the full
-    # build (the delta of a 10^12-doc corpus is still huge)
+    # build (the delta of a 10^12-doc corpus is still huge). The delta's
+    # corpus-stats ride the staging write via observe() — one job, not two.
+    from pyspark.sql import Observation
+
     os.makedirs(mf.gen_dir(index_dir, gen), exist_ok=True)
     _staging = os.path.join(mf.gen_dir(index_dir, gen), "_docs_staging.parquet")
-    delta_plan.write.mode("overwrite").parquet(_staging)
+    obs = Observation("delta_stats")
+    delta_plan.observe(obs, F.count(F.lit(1)).alias("n"),
+                       F.sum("dl").alias("s")).write.mode("overwrite").parquet(_staging)
+    n_delta, dl_delta = int(obs.get["n"]), int(obs.get["s"] or 0)
+    for _c in getattr(added_ids, "_cached_deps", []):
+        _c.unpersist()
     delta_docs = spark.read.parquet(_staging)
     tombstones = (
         changed.select(F.col("old_doc_id").alias("doc_id"))
@@ -194,15 +226,17 @@ def build_incremental(
     )
 
     # corpus stats delta (exact): N' = N + added − deleted; Σdl' likewise,
-    # replacing changed docs' old dl with the new one.
-    agg = delta_docs.agg(F.count("*").alias("n"), F.sum("dl").alias("s")).collect()[0]
-    n_delta, dl_delta = int(agg["n"]), int(agg["s"] or 0)
+    # replacing changed docs' old dl with the new one. The changed-count
+    # rides the removed-docs aggregate via a flag column — the diff join is
+    # evaluated once here, not twice.
     rem = (
-        changed.select("old_dl").unionByName(deleted.select("old_dl"))
-        .agg(F.count("*").alias("n"), F.sum("old_dl").alias("s")).collect()[0]
+        changed.select("old_dl", F.lit(1).alias("chg"))
+        .unionByName(deleted.select("old_dl", F.lit(0).alias("chg")))
+        .agg(F.count("*").alias("n"), F.sum("old_dl").alias("s"),
+             F.sum("chg").alias("nc")).collect()[0]
     )
     n_removed, dl_removed = int(rem["n"]), int(rem["s"] or 0)
-    n_changed = changed.count()
+    n_changed = int(rem["nc"] or 0)
     prev_m = chain[-1]
     n_live = prev_m["n_docs_live"] + n_delta - n_removed + 0  # changed counted in both
     # changed docs: removed old (in rem) and re-added (in delta) -> net N includes once

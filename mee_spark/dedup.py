@@ -163,12 +163,13 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # verify CANDIDATES ONLY (the whole point of LSH): restrict the shingle
-    # join to candidate pairs instead of computing all-pairs Jaccard. The
-    # candidate set is small, so it broadcasts; at 10^12 docs the all-pairs
-    # form would be impossible while this stays linear in candidates.
+    # join to candidate pairs instead of computing all-pairs Jaccard. No
+    # forced broadcast hint: candidate volume grows with corpus near-dup
+    # density, and past the broadcast limit a pinned hint dies where a
+    # shuffle join would cruise — AQE picks broadcast when it actually fits.
     sh = shingles(docs, n)
     sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("sz"))
-    cand_b = F.broadcast(candidates)
+    cand_b = candidates
     common = (
         cand_b
         .join(sh.withColumnRenamed("doc_id", "doc_id_a"), "doc_id_a")

@@ -89,6 +89,9 @@ def assign_doc_ids(pages: DataFrame, num_partitions: int = 32,
         out.write.mode("overwrite").parquet(materialize_path)
         local.unpersist()
         return spark.read.parquet(materialize_path)
+    # expose the cache handle so callers can unpersist once they have
+    # materialized downstream (build_full_index releases it after staging)
+    out._cached_deps = [local]
     return out
 
 

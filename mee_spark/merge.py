@@ -21,33 +21,36 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from mee_spark import manifest as mf
-from mee_spark.build import _docmap_path, live_docmap, read_tombstones
+from mee_spark.build import _docmap_path, live_docmap
 from mee_spark.codec import decode_postings
 from mee_spark.config import IndexConfig
 from mee_spark.segments import build_segments, read_segments
 
 
-def decoded_postings(spark: SparkSession, index_dir: str, gens: list[int]):
+def decoded_postings(spark: SparkSession, index_dir: str, gens: list[int],
+                     range_size: int):
     """Explode all LIVE postings of the chain back to (term, doc_id, tf, dl).
 
     Tombstone masks (docs superseded/deleted at a later gen) are applied
-    during decode, identical to the query path."""
+    during decode, identical to the query path: tombstones stay a
+    DataFrame, joined per docID range — never collected to the driver
+    (a high-churn chain's tombstone set outgrows driver memory long
+    before compaction becomes urgent)."""
+    from mee_spark.query_wand import _dead_ids, tombstones_per_range
+
     segs = read_segments(spark, index_dir, gens)
-    tdf = read_tombstones(spark, index_dir, gens)
-    tombs: dict[int, np.ndarray] = {}
-    if tdf is not None:
-        for r in tdf.groupBy("tomb_gen").agg(F.collect_list("doc_id").alias("ids")).collect():
-            tombs[int(r["tomb_gen"])] = np.sort(np.array(r["ids"], dtype=np.int64))
-    tomb_b = spark.sparkContext.broadcast(tombs)
+    tombs = tombstones_per_range(spark, index_dir, gens, range_size)
+    if tombs is not None:
+        segs = segs.join(tombs, "range_id", "left")
 
     def explode(batches):
         for pdf in batches:
             outs = []
             for row in pdf.itertuples():
                 docs, tfs, dls = decode_postings(row)
-                dead = [ids for g, ids in tomb_b.value.items() if g > int(row.gen)]
-                if dead:
-                    keep = ~np.isin(docs, np.concatenate(dead))
+                dead = _dead_ids(row, int(row.gen))
+                if dead is not None:
+                    keep = ~np.isin(docs, dead)
                     docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
                 if len(docs):
                     outs.append(pd.DataFrame(
@@ -69,7 +72,7 @@ def compact(spark: SparkSession, index_dir: str, cfg: IndexConfig,
     if not chain:
         raise ValueError("nothing to compact")
     gens = [m["generation"] for m in chain]
-    postings = decoded_postings(spark, index_dir, gens)
+    postings = decoded_postings(spark, index_dir, gens, cfg.doc_range_size)
     os.makedirs(mf.gen_dir(index_dir, new_gen), exist_ok=True)
     # consolidated docmap = live rows only
     live = live_docmap(spark, index_dir, gens)

@@ -24,9 +24,14 @@ designed for 10^12 docs / 1000 executors:
    asc) for determinism.
 
 Generations: rows from every gen in the manifest chain are unioned;
-tombstones (docs deleted/re-indexed in later gens) are broadcast and
-masked out at decode time — last-writer-wins, mee's incremental-sync
-semantics (`services/syncservice.py:64-93`).
+tombstones (docs deleted/re-indexed in later gens) are masked out at
+decode time — last-writer-wins, mee's incremental-sync semantics
+(`services/syncservice.py:64-93`). Tombstones stay a DataFrame end to
+end: they are grouped per docID range and JOINED onto the segment rows
+(AQE broadcasts when small, shuffles when not), never collected to the
+driver — a high-churn 10^12-doc index accumulates tombstones far past
+driver memory between compactions, and each scorer task only ever sees
+its own range's slice (≤ doc_range_size ids by construction).
 """
 
 from __future__ import annotations
@@ -59,20 +64,46 @@ def _term_buckets(spark: SparkSession, terms: list[str], num_buckets: int) -> li
     return sorted(r["b"] for r in rows)
 
 
-def _tombstone_masks(spark: SparkSession, index_dir: str, gens: list[int]):
-    """{gen: sorted int64 array of doc_ids tombstoned AT that gen}."""
+def tombstones_per_range(spark: SparkSession, index_dir: str, gens: list[int],
+                         range_size: int) -> DataFrame | None:
+    """(range_id, tomb_ids array<long>, tomb_gens array<long>) — the chain's
+    tombstones bucketed by docID range, sorted by doc_id for determinism.
+
+    This is the distributed form of the tombstone mask: joined onto segment
+    rows by range_id, each scorer/decoder task receives exactly its range's
+    tombstones as ordinary column data. No driver collect, no task-closure
+    capture, no broadcast ceiling."""
     tdf = read_tombstones(spark, index_dir, gens)
     if tdf is None:
-        return {}
-    out: dict[int, np.ndarray] = {}
-    for r in tdf.groupBy("tomb_gen").agg(F.collect_list("doc_id").alias("ids")).collect():
-        out[int(r["tomb_gen"])] = np.sort(np.array(r["ids"], dtype=np.int64))
-    return out
+        return None
+    return (
+        tdf.withColumn("range_id", (F.col("doc_id") / F.lit(range_size)).cast("long"))
+        .groupBy("range_id")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "tomb_gen"))).alias("_t"))
+        .select(
+            "range_id",
+            F.transform("_t", lambda x: x["doc_id"]).alias("tomb_ids"),
+            F.transform("_t", lambda x: x["tomb_gen"]).alias("tomb_gens"),
+        )
+    )
 
 
-def _make_scorer(df_map: dict, n_docs: int, avgdl: float, tombs: dict,
+def _dead_ids(row, gen: int) -> np.ndarray | None:
+    """doc_ids tombstoned at a gen LATER than ``gen``, from the joined
+    per-range arrays (None/NaN when the range has no tombstones)."""
+    t = getattr(row, "tomb_ids", None)
+    if t is None or isinstance(t, float):  # null from the left join
+        return None
+    ids = np.asarray(t, dtype=np.int64)
+    gens = np.asarray(row.tomb_gens, dtype=np.int64)
+    dead = ids[gens > gen]
+    return dead if len(dead) else None
+
+
+def _make_scorer(df_map: dict, n_docs: int, avgdl: float,
                  k1: float, b: float, use_block_max: bool,
-                 wand_min_postings: int = 1 << 16):
+                 wand_min_postings: int = 1 << 16,
+                 round_to: int | None = None):
     """Scorer for one docID range, ALL queries at once.
 
     Grouping by range (not (query, range)) turns q·ranges tiny Arrow
@@ -87,9 +118,9 @@ def _make_scorer(df_map: dict, n_docs: int, avgdl: float, tombs: dict,
         for row in pdf.drop_duplicates(subset=["term", "gen"]).itertuples():
             docs, tfs, dls = decode_postings(row)
             gen = int(row.gen)
-            dead = [ids for g, ids in tombs.items() if g > gen]
-            if dead:
-                keep = ~np.isin(docs, np.concatenate(dead))
+            dead = _dead_ids(row, gen)
+            if dead is not None:
+                keep = ~np.isin(docs, dead)
                 if not keep.all():
                     docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
             if len(docs) == 0:
@@ -118,11 +149,15 @@ def _make_scorer(df_map: dict, n_docs: int, avgdl: float, tombs: dict,
                                           idf, avgdl, bl, btf, bdl, k1, b))
             # hybrid: vectorized exhaustive for range-bounded small lists,
             # block-max WAND where skipping wins (identical results; see
-            # wand.exhaustive_topk_vec docstring)
+            # wand.exhaustive_topk_vec docstring). Local selection uses the
+            # SAME rounded key as the global window rank — a doc dropped by
+            # an unrounded local heap could round-tie a kept doc and win
+            # the doc_id tie-break globally.
             if sum(c.n for c in cursors) < wand_min_postings:
-                top = exhaustive_topk_vec(cursors, k)
+                top = exhaustive_topk_vec(cursors, k, round_to=round_to)
             else:
-                top = wand_topk(cursors, k, use_block_max=use_block_max)
+                top = wand_topk(cursors, k, use_block_max=use_block_max,
+                                round_to=round_to)
             if top:
                 out.append(pd.DataFrame(
                     {"query_id": int(qid), "k": k,
@@ -163,49 +198,58 @@ def bm25_topk_wand(
     buckets = _term_buckets(spark, terms, cfg.num_term_buckets)
 
     # cached: the pruned scan (query terms only — tiny next to the index)
-    # feeds both the df aggregation and the scoring join
-    segs = (
-        read_segments(spark, index_dir, gens)
-        .filter(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
-        .cache()
-    )
-    tombs = _tombstone_masks(spark, index_dir, gens)
+    # feeds both the df aggregation and the scoring join. Tombstones join
+    # in per docID range BEFORE the cache so both consumers see them.
+    segs = read_segments(spark, index_dir, gens).filter(
+        F.col("bucket").isin(buckets) & F.col("term").isin(terms))
+    tombs = tombstones_per_range(spark, index_dir, gens, cfg.doc_range_size)
+    if tombs is not None:
+        segs = segs.join(tombs, "range_id", "left")
+    segs = segs.cache()
+    try:
+        if tombs is not None:
+            # exact live df needs decode (old gens still hold dead postings)
+            def live_counts(batches):
+                for pdf in batches:
+                    counts = []
+                    for row in pdf.itertuples():
+                        docs, _, _ = decode_postings(row)
+                        dead = _dead_ids(row, int(row.gen))
+                        n = len(docs) if dead is None else int(
+                            (~np.isin(docs, dead)).sum())
+                        counts.append((row.term, n))
+                    yield pd.DataFrame(counts, columns=["term", "live"])
 
-    if tombs:
-        # exact live df needs decode (old gens still hold dead postings)
-        tomb_b = spark.sparkContext.broadcast(tombs)
+            df_rows = (
+                segs.mapInPandas(live_counts, "term string, live long")
+                .groupBy("term").agg(F.sum("live").alias("df")).collect()
+            )
+        else:
+            df_rows = segs.groupBy("term").agg(F.sum("df_local").alias("df")).collect()
+        df_map = {r["term"]: int(r["df"]) for r in df_rows}
 
-        def live_counts(batches):
-            for pdf in batches:
-                counts = []
-                for row in pdf.itertuples():
-                    docs, _, _ = decode_postings(row)
-                    dead = [ids for g, ids in tomb_b.value.items() if g > int(row.gen)]
-                    n = len(docs) if not dead else int(
-                        (~np.isin(docs, np.concatenate(dead))).sum())
-                    counts.append((row.term, n))
-                yield pd.DataFrame(counts, columns=["term", "live"])
-
-        df_rows = (
-            segs.mapInPandas(live_counts, "term string, live long")
-            .groupBy("term").agg(F.sum("live").alias("df")).collect()
+        # parallelism = ranges x query-shards: sharding the query batch keeps
+        # big batches parallel even over few ranges, while queries within a
+        # shard still share each (term, gen) decode
+        n_qshards = max(1, min(8, queries.count()))
+        joined = (
+            segs.join(F.broadcast(qterms), "term")
+            .withColumn("_qshard", F.pmod(F.col("query_id"), F.lit(n_qshards)))
         )
-    else:
-        df_rows = segs.groupBy("term").agg(F.sum("df_local").alias("df")).collect()
-    df_map = {r["term"]: int(r["df"]) for r in df_rows}
+        scorer = _make_scorer(df_map, n_docs, avgdl, cfg.k1, cfg.b,
+                              use_block_max, cfg.wand_min_postings,
+                              round_to=round_digits)
+        local = joined.groupBy("range_id", "_qshard").applyInPandas(scorer, _LOCAL_SCHEMA)
+        # materialize the per-range candidates (≤ k·ranges·qshards rows,
+        # distributed) so the cached pruned scan can be released NOW —
+        # long-lived query sessions must not accumulate cached scans
+        local = local.localCheckpoint(eager=True)
+    finally:
+        segs.unpersist()
 
-    # parallelism = ranges x query-shards: sharding the query batch keeps
-    # big batches parallel even over few ranges, while queries within a
-    # shard still share each (term, gen) decode
-    n_qshards = max(1, min(8, queries.count()))
-    joined = (
-        segs.join(F.broadcast(qterms), "term")
-        .withColumn("_qshard", F.pmod(F.col("query_id"), F.lit(n_qshards)))
-    )
-    scorer = _make_scorer(df_map, n_docs, avgdl, tombs, cfg.k1, cfg.b,
-                          use_block_max, cfg.wand_min_postings)
-    local = joined.groupBy("range_id", "_qshard").applyInPandas(scorer, _LOCAL_SCHEMA)
-
+    # scores leave the scorer already rounded (the kernels select by the
+    # rounded key); F.round here is an identity re-statement that keeps
+    # the output contract explicit for the unrounded path too
     score_key = (
         F.round(F.col("score"), round_digits) if round_digits is not None else F.col("score")
     )

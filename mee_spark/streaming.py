@@ -75,11 +75,13 @@ def stateful_url_dedup(pages_stream: DataFrame) -> DataFrame:
     for the indexer — the at-least-once event stream becomes
     effectively-once, mee's T2 concern `basecosumerservice.py:36-53`).
 
-    State per url-hash-prefix group = the set of seen url hashes. Keys
-    are a 12-bit hash prefix so state shards evenly across executors and
-    each group's state stays small relative to the corpus (at 10^12 docs
-    you would raise the prefix width and/or switch the per-group set to
-    a Bloom filter — the operator shape is identical).
+    State per url-hash-prefix group = the set of seen FULL urls (exact:
+    a 64-bit hash alone would silently drop a distinct doc on collision,
+    and collisions are likely well below 10^12 docs). Keys are a 12-bit
+    hash prefix so state shards evenly across executors and each group's
+    state stays small relative to the corpus (at 10^12 docs you raise the
+    prefix width; the operator shape is identical — a Bloom filter swap
+    would trade exactness for space and is deliberately NOT used here).
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
@@ -89,22 +91,19 @@ def stateful_url_dedup(pages_stream: DataFrame) -> DataFrame:
 
     out_schema = ("shard int, url string, warc_ts timestamp, html binary, "
                   "text string, lang string")
-    state_schema = "seen array<long>"
+    state_schema = "seen array<string>"
 
     def dedup(key, pdfs, state):
         seen = set(state.get[0]) if state.exists else set()
         outs = []
         for pdf in pdfs:
-            # deterministic vectorized 64-bit url hash (fixed pandas hash key)
-            h = pd.util.hash_array(pdf["url"].to_numpy(dtype=object)).astype("int64")
             # single pass: dedup against state AND within the batch
             fresh_mask = []
-            for x in h:
-                xi = int(x)
-                if xi in seen:
+            for u in pdf["url"]:
+                if u in seen:
                     fresh_mask.append(False)
                 else:
-                    seen.add(xi)
+                    seen.add(u)
                     fresh_mask.append(True)
             new = pdf[pd.Series(fresh_mask, index=pdf.index).to_numpy()]
             if len(new):

@@ -88,13 +88,22 @@ def _heap_better(score: float, doc_id: int, worst: tuple) -> bool:
 
 def wand_topk(cursors: list[TermCursor], k: int,
               use_block_max: bool = True,
-              stats: dict | None = None) -> list[tuple[int, float]]:
+              stats: dict | None = None,
+              round_to: int | None = None) -> list[tuple[int, float]]:
     """-> [(doc_id, score)] ranked (score desc, doc_id asc), len <= k.
 
     ``cursors`` is one TermCursor per distinct query term present in the
     index (missing/OOV terms simply have no cursor). Pass a dict as
     ``stats`` to collect pruning counters: ``docs_scored`` (full BM25
     evaluations) vs ``total_postings`` (what exhaustive scoring pays).
+
+    ``round_to``: when the FINAL ranking rounds scores (the engine's
+    presentation contract), the local heap must select by the SAME rounded
+    key, or a doc dropped here could round-tie a kept doc and win the
+    doc_id tie-break globally. Rounding θ keeps pruning safe: entry needs
+    round(s) > θ, both on the 10^-round_to grid, i.e. s > θ + ½·10^-r —
+    so the strict unrounded bound checks (acc < θ, blk_acc < θ) can never
+    prune an admissible doc.
     """
     cursors = [c for c in cursors if c.n > 0]
     if stats is not None:
@@ -156,6 +165,10 @@ def wand_topk(cursors: list[TermCursor], k: int,
             for c in cursors:  # lexicographic order for deterministic sum
                 if c.cur_doc == pivot_doc:
                     score += c.score_at(pivot_doc)
+            if round_to is not None:
+                # np.round (not Python round): bit-identical to the
+                # vectorized kernel's np.round so the hybrid paths agree
+                score = float(np.round(score, round_to))
             cand = (score, -pivot_doc)
             if len(heap) < k:
                 heapq.heappush(heap, cand)
@@ -176,7 +189,8 @@ def wand_topk(cursors: list[TermCursor], k: int,
     return out
 
 
-def exhaustive_topk_vec(cursors: list[TermCursor], k: int) -> list[tuple[int, float]]:
+def exhaustive_topk_vec(cursors: list[TermCursor], k: int,
+                        round_to: int | None = None) -> list[tuple[int, float]]:
     """Fully-vectorized exhaustive union scoring — identical results to
     wand_topk (same float summation order: terms accumulate per doc in
     lexicographic cursor order via the stable sort).
@@ -197,6 +211,8 @@ def exhaustive_topk_vec(cursors: list[TermCursor], k: int) -> list[tuple[int, fl
     starts = np.flatnonzero(np.concatenate(([True], d[1:] != d[:-1])))
     sums = np.add.reduceat(s, starts)
     uniq = d[starts]
+    if round_to is not None:  # select by the final (rounded) ranking key
+        sums = np.round(sums, round_to)
     top = np.lexsort((uniq, -sums))[:k]  # (score desc, doc_id asc)
     return [(int(uniq[i]), float(sums[i])) for i in top]
 
