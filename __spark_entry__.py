@@ -262,9 +262,28 @@ def q_dedup_simhash(spark, sf_dir):
 
 
 def q_dedup_embedding(spark, sf_dir):
+    """Exact all-pairs cosine dedup — the small-scale verify kernel and
+    the oracle for the LSH-blocked scale path below (same kernel/scale
+    split as ngram_jaccard vs minhash_lsh)."""
     from mee_spark.similarity import embedding_dup_pairs
 
     return embedding_dup_pairs(_read(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+# contract instance: the synthetic embeddings' max pairwise cos is ~0.51,
+# so the near-dup threshold is 0.4 and the blocking is 4 planes / radius 2
+# (recall stays high at that wide an angle). Production near-dup (>=0.95)
+# uses the defaults: 16 planes / radius 1.
+_EMB_LSH_PARAMS = dict(threshold=0.4, n_planes=4, probe_radius=2, seed=13)
+
+
+def q_dedup_embedding_lsh(spark, sf_dir):
+    """LSH-blocked embedding near-dup — the 10^12-vector path: candidates
+    only within hamming<=radius hyperplane buckets, exact-cosine verify."""
+    from mee_spark.similarity import embedding_dup_pairs_lsh
+
+    return embedding_dup_pairs_lsh(_read(spark, sf_dir, "embeddings"),
+                                   **_EMB_LSH_PARAMS)
 
 
 _SHINGLE_CTE = f"""
@@ -357,6 +376,76 @@ FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE round({_COS.format(a='a.embedding', b='b.embedding')}, 6) >= 0.4
 """
 
+
+def _bucket_expr(n_planes: int, seed: int, col: str = "embedding") -> str:
+    """DuckDB sign-bit bucket id from the same seeded hyperplanes as
+    mee_spark.similarity.hyperplanes — left-to-right float64 fold."""
+    from mee_spark.similarity import hyperplanes
+
+    planes = hyperplanes(64, n_planes, seed)
+    terms = []
+    for j, plane in enumerate(planes):
+        consts = "[" + ", ".join(repr(float(c)) for c in plane) + "]::DOUBLE[]"
+        proj = (f"list_sum(list_transform(list_zip({col}, {consts}), "
+                f"x -> x[1]::DOUBLE * x[2]))")
+        terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << j} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+def _emb_lsh_dup_sql() -> str:
+    from mee_spark.similarity import _probe_masks
+
+    p = _EMB_LSH_PARAMS
+    masks = ", ".join(str(m) for m in _probe_masks(p["n_planes"], p["probe_radius"]))
+    bkt = _bucket_expr(p["n_planes"], p["seed"])
+    cos = _COS.format(a="ea.embedding", b="eb.embedding")
+    return f"""
+WITH e AS (SELECT vec_id::BIGINT AS vec_id, embedding, ({bkt})::BIGINT AS bkt FROM embeddings),
+a AS (SELECT vec_id, xor(bkt, m.m) AS pbkt
+      FROM e CROSS JOIN (SELECT unnest([{masks}])::BIGINT AS m) m),
+cand AS (SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+         FROM a JOIN e b ON a.pbkt = b.bkt AND a.vec_id < b.vec_id)
+SELECT c.vec_id_a, c.vec_id_b, round({cos}, 6) AS cos
+FROM cand c JOIN e ea ON ea.vec_id = c.vec_id_a JOIN e eb ON eb.vec_id = c.vec_id_b
+WHERE round({cos}, 6) >= {p["threshold"]}
+"""
+
+
+def _ann_ivf_sql(n_centroids: int = 16, nprobe: int = 4, seed: int = 29,
+                 k: int = 10) -> str:
+    from mee_spark.similarity import fixed_centroids
+
+    cent = fixed_centroids(64, n_centroids, seed)
+    vals = ", ".join(
+        "(" + str(i) + ", [" + ", ".join(repr(float(x)) for x in c) + "]::DOUBLE[])"
+        for i, c in enumerate(cent))
+    cos = _COS.format(a="pv.pvec", b="ce.embedding")
+    return f"""
+WITH e AS (SELECT vec_id::BIGINT AS vec_id, embedding FROM embeddings),
+cent(cid, c) AS (VALUES {vals}),
+dots AS (SELECT e.vec_id, cent.cid,
+                list_sum(list_transform(list_zip(e.embedding, cent.c),
+                                        x -> x[1]::DOUBLE * x[2])) AS d
+         FROM e CROSS JOIN cent),
+rc AS (SELECT vec_id, cid,
+              row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rn
+       FROM dots),
+assign AS (SELECT vec_id, cid AS cell FROM rc WHERE rn = 1),
+pcells AS (SELECT vec_id AS probe_id, cid AS cell FROM rc
+           WHERE rn <= {nprobe} AND vec_id IN ({_ANN_PROBE_LIST})),
+pv AS (SELECT vec_id AS probe_id, embedding AS pvec FROM e
+       WHERE vec_id IN ({_ANN_PROBE_LIST})),
+scored AS (SELECT pc.probe_id, a.vec_id, round({cos}, 6) AS cos
+           FROM pcells pc JOIN assign a ON a.cell = pc.cell
+           JOIN pv ON pv.probe_id = pc.probe_id
+           JOIN e ce ON ce.vec_id = a.vec_id
+           WHERE a.vec_id <> pc.probe_id),
+ranked AS (SELECT probe_id, vec_id, cos,
+                  row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rank
+           FROM scored)
+SELECT probe_id, rank, vec_id, cos FROM ranked WHERE rank <= {k}
+"""
+
 # ------------------------------------------------------------- similarity
 
 def q_ann_bruteforce(spark, sf_dir):
@@ -366,12 +455,14 @@ def q_ann_bruteforce(spark, sf_dir):
 
 
 def q_ann_ivf(spark, sf_dir):
-    """IVF ANN (rows-only driver check: the k-means centroids would need
-    1024 inline constants in SQL; quality is gated by the recall-vs-brute
-    test in tests/test_dedup_similarity.py instead)."""
-    from mee_spark.similarity import ann_ivf_topk
+    """IVF ANN with the fixed (seeded, data-oblivious) coarse quantizer —
+    fully oracle-checked (centroids inlined as SQL constants). The
+    k-means-trained variant keeps the same plan shape and is recall-gated
+    in tests/test_dedup_similarity.py."""
+    from mee_spark.similarity import ann_ivf_topk_fixed
 
-    return ann_ivf_topk(_read(spark, sf_dir, "embeddings"), ANN_PROBES, k=10)
+    return ann_ivf_topk_fixed(_read(spark, sf_dir, "embeddings"), ANN_PROBES,
+                              k=10, n_centroids=16, nprobe=4, seed=29)
 
 
 def q_ann_lsh(spark, sf_dir):
@@ -514,6 +605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
+        "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -574,8 +666,10 @@ SELECT min(doc_id) AS doc_id, count(*)::BIGINT AS n_dupes FROM d GROUP BY fp
         "dedup_minhash_lsh": _MINHASH_LSH_SQL,
         "dedup_simhash": _SIMHASH_SQL,
         "dedup_embedding": _EMB_DUP_SQL,
+        "dedup_embedding_lsh": _emb_lsh_dup_sql(),
         "ann_bruteforce": _ANN_BRUTE_SQL,
         "ann_lsh": _ann_lsh_sql(),
+        "ann_ivf": _ann_ivf_sql(),
         "rel_lookup_join": """
 SELECT o.o_orderkey::BIGINT AS order_id, o.o_custkey::BIGINT AS customer_id,
        coalesce(c.c_name, 'unknown') AS customer_name,

@@ -242,7 +242,10 @@ def bm25_topk_wand(
         local = joined.groupBy("range_id", "_qshard").applyInPandas(scorer, _LOCAL_SCHEMA)
         # materialize the per-range candidates (≤ k·ranges·qshards rows,
         # distributed) so the cached pruned scan can be released NOW —
-        # long-lived query sessions must not accumulate cached scans
+        # long-lived query sessions must not accumulate cached scans. The
+        # checkpoint's own storage is freed by Spark's ContextCleaner when
+        # the caller drops the result DF: bounded by live references,
+        # unlike a named cache which outlives its last consumer.
         local = local.localCheckpoint(eager=True)
     finally:
         segs.unpersist()

@@ -109,6 +109,51 @@ def ann_lsh_topk(emb: DataFrame, probe_ids: list[int], k: int = 10,
     )
 
 
+def fixed_centroids(dim: int, n_centroids: int, seed: int = 29) -> np.ndarray:
+    """Deterministic data-oblivious centroids (seeded Gaussian, unit norm).
+
+    The oracle-reproducible coarse quantizer: pure constants, so the whole
+    IVF plan (assignment, probe cells, re-rank) can be verified bit-exactly
+    against an external SQL engine with the centroids inlined. Recall is
+    below a k-means quantizer's (cells are not data-adaptive) — use
+    ``kmeans_centroids`` when a fixture-stable quantizer isn't required."""
+    rng = np.random.default_rng(seed)
+    c = rng.standard_normal((n_centroids, dim))
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def dot_col(vec: Column, consts) -> Column:
+    """float64 dot(vec, constant vector) as a LEFT-TO-RIGHT fold — the same
+    accumulation order as DuckDB's list_sum over list_transform, so cell
+    assignments hash-match across engines (matmul reassociates and can
+    flip argmax on near-ties; a fold cannot)."""
+    return F.aggregate(
+        F.zip_with(vec, F.array(*[F.lit(float(c)) for c in consts]),
+                   lambda x, c: x.cast("double") * c),
+        F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _centroid_rank_structs(vec: Column, centroids: np.ndarray) -> Column:
+    """array<struct(nd, cid)> where nd = -dot(vec, centroid) — sorting asc
+    ranks centroids by (dot desc, cid asc), the cross-engine tie-break."""
+    return F.array(*[
+        F.struct((-dot_col(vec, c)).alias("nd"), F.lit(i).cast("int").alias("cid"))
+        for i, c in enumerate(centroids)
+    ])
+
+
+def ivf_cell_col(vec: Column, centroids: np.ndarray) -> Column:
+    """Nearest-centroid id, all-JVM (norms drop out of the argmax since
+    centroids are unit-norm — rank by raw dot)."""
+    return F.array_min(_centroid_rank_structs(vec, centroids))["cid"]
+
+
+def ivf_probe_cells_col(vec: Column, centroids: np.ndarray, nprobe: int) -> Column:
+    """array<int> — the nprobe nearest centroid ids, rank order."""
+    ranked = F.array_sort(_centroid_rank_structs(vec, centroids))
+    return F.transform(F.slice(ranked, 1, nprobe), lambda s: s["cid"])
+
+
 def kmeans_centroids(sample: np.ndarray, n_centroids: int, iters: int = 8,
                      seed: int = 29) -> np.ndarray:
     """Deterministic spherical k-means (numpy Lloyd) on a driver-side
@@ -190,15 +235,105 @@ def ann_ivf_topk(emb: DataFrame, probe_ids: list[int], k: int = 10,
     )
 
 
-def embedding_dup_pairs(emb: DataFrame, threshold: float = 0.98) -> DataFrame:
-    """(vec_id_a, vec_id_b, cos) — embedding-cosine near-duplicates.
+def ann_ivf_topk_fixed(emb: DataFrame, probe_ids: list[int], k: int = 10,
+                       n_centroids: int = 16, nprobe: int = 4,
+                       seed: int = 29, dim: int = 64) -> DataFrame:
+    """IVF ANN with the FIXED (data-oblivious, seeded) coarse quantizer —
+    the oracle-checked variant of ``ann_ivf_topk``.
 
-    Small-scale exact form: all pairs a<b (the oracle-comparable one).
-    The LSH-blocked variant reuses ann_lsh_topk's bucketing upstream."""
+    Same plan shape as the trained form: assign each corpus vector to one
+    cell (all-JVM fold expressions, no Python), explode each probe into its
+    nprobe nearest cells, broadcast the tiny probe set, exact-cosine
+    re-rank inside the probed cells. Every step is reproducible from the
+    seed alone, so a SQL engine given the same centroid constants produces
+    the identical result set — this closes the trained variant's
+    ``no_oracle`` gap without changing the scale shape."""
+    cent = fixed_centroids(dim, n_centroids, seed)
+    pids = [int(p) for p in probe_ids]
+    assigned = emb.select("vec_id", "embedding",
+                          ivf_cell_col(F.col("embedding"), cent).alias("cell"))
+    probes = (
+        emb.filter(F.col("vec_id").isin(pids))
+        .select(F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pvec"),
+                F.explode(ivf_probe_cells_col(F.col("embedding"), cent, nprobe))
+                .alias("cell"))
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "vec_id",
+                F.round(cosine_col(F.col("pvec"), F.col("embedding")), 6).alias("cos"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(F.col("probe_id").cast("long"), "rank", F.col("vec_id").cast("long"), "cos")
+    )
+
+
+def embedding_dup_pairs(emb: DataFrame, threshold: float = 0.98) -> DataFrame:
+    """(vec_id_a, vec_id_b, cos) — EXACT embedding-cosine near-duplicates.
+
+    All pairs a<b: O(N²), the small-scale verify kernel / oracle for the
+    blocked variant below — the same role ngram_jaccard_pairs plays for
+    minhash LSH. NEVER the 10^12-vector path; use
+    ``embedding_dup_pairs_lsh`` there."""
     a = emb.select(F.col("vec_id").alias("vec_id_a"), F.col("embedding").alias("va"))
     b = emb.select(F.col("vec_id").alias("vec_id_b"), F.col("embedding").alias("vb"))
     return (
         a.join(b, F.col("vec_id_a") < F.col("vec_id_b"))
+        .select("vec_id_a", "vec_id_b",
+                F.round(cosine_col(F.col("va"), F.col("vb")), 6).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+def _probe_masks(n_planes: int, radius: int) -> list[int]:
+    """All XOR masks of popcount <= radius over n_planes bits (sorted)."""
+    masks = [m for m in range(1 << n_planes) if bin(m).count("1") <= radius]
+    return sorted(masks)
+
+
+def embedding_dup_pairs_lsh(
+    emb: DataFrame, threshold: float = 0.95, n_planes: int = 16,
+    probe_radius: int = 1, seed: int = 13, dim: int = 64,
+) -> DataFrame:
+    """(vec_id_a, vec_id_b, cos) — LSH-BLOCKED embedding near-duplicates:
+    the 10^12-vector scale path.
+
+    Candidate pairs form ONLY between vectors whose hyperplane sign
+    buckets differ by hamming distance <= probe_radius (side A explodes
+    over its bucket's XOR-mask ball; side B keeps its exact bucket, so
+    each qualifying pair is generated exactly once). Exact double-precision
+    cosine verifies candidates; ``embedding_dup_pairs`` (all pairs) is the
+    small-scale oracle, mirroring minhash-LSH vs ngram-Jaccard.
+
+    Cost: candidates ~ N²/2^planes per probe instead of N². Recall is a
+    monotone function of (planes, radius) vs the cosine threshold's angle;
+    tested against the exact kernel. At true near-dup thresholds (>=0.95,
+    angle <=18°) the default 16 planes / radius 1 keeps recall high while
+    the bucket groupBy stays skew-free (buckets are hyperplane-balanced).
+    """
+    planes = hyperplanes(dim, n_planes, seed)
+    bucketed = emb.select(
+        "vec_id", F.col("embedding"),
+        lsh_bucket_col(F.col("embedding"), planes).alias("bkt"))
+    slim = bucketed.select("vec_id", "bkt")
+    masks = F.array(*[F.lit(m) for m in _probe_masks(n_planes, probe_radius)])
+    probed_a = slim.select(
+        F.col("vec_id").alias("vec_id_a"),
+        F.explode(F.transform(masks, lambda m: F.col("bkt").bitwiseXOR(m))).alias("pbkt"))
+    # each pair at hamming distance d <= radius matches on exactly one mask
+    # (the XOR of the two buckets) — no duplicate candidates, no distinct
+    cand = probed_a.join(
+        slim.select(F.col("vec_id").alias("vec_id_b"), F.col("bkt").alias("pbkt")),
+        "pbkt").filter(F.col("vec_id_a") < F.col("vec_id_b")).select(
+        "vec_id_a", "vec_id_b")
+    va = bucketed.select(F.col("vec_id").alias("vec_id_a"), F.col("embedding").alias("va"))
+    vb = bucketed.select(F.col("vec_id").alias("vec_id_b"), F.col("embedding").alias("vb"))
+    return (
+        cand.join(va, "vec_id_a").join(vb, "vec_id_b")
         .select("vec_id_a", "vec_id_b",
                 F.round(cosine_col(F.col("va"), F.col("vb")), 6).alias("cos"))
         .filter(F.col("cos") >= threshold)

@@ -100,3 +100,57 @@ def test_ann_ivf_recall_beats_or_matches_lsh(spark):
     # determinism: same seed -> same results
     res2 = ann_ivf_topk(emb, probes, k=10, n_centroids=16, nprobe=4).collect()
     assert sorted(map(tuple, res)) == sorted(map(tuple, res2))
+
+
+def test_embedding_lsh_subset_and_recall(spark):
+    """Blocked pairs ⊆ exact pairs (verification guarantees precision 1);
+    recall at the contract params (4 planes, radius 2) stays high for the
+    wide-angle threshold used on the synthetic corpus."""
+    from mee_spark.similarity import embedding_dup_pairs, embedding_dup_pairs_lsh
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    exact = {(r["vec_id_a"], r["vec_id_b"], r["cos"])
+             for r in embedding_dup_pairs(emb, threshold=0.4).collect()}
+    blocked = {(r["vec_id_a"], r["vec_id_b"], r["cos"])
+               for r in embedding_dup_pairs_lsh(
+                   emb, threshold=0.4, n_planes=4, probe_radius=2).collect()}
+    assert blocked <= exact
+    assert len(exact) > 0
+    recall = len(blocked) / len(exact)
+    assert recall >= 0.5, f"embedding LSH recall {recall}"
+
+
+def test_embedding_lsh_no_duplicate_candidates(spark):
+    """Each qualifying pair is produced exactly once (one XOR mask per
+    bucket-distance) — no distinct needed, no double-counted pairs."""
+    from mee_spark.similarity import embedding_dup_pairs_lsh
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    rows = embedding_dup_pairs_lsh(
+        emb, threshold=0.4, n_planes=4, probe_radius=2).collect()
+    pairs = [(r["vec_id_a"], r["vec_id_b"]) for r in rows]
+    assert len(pairs) == len(set(pairs))
+
+
+def test_ann_ivf_fixed_matches_plan_and_recall(spark):
+    """Fixed-quantizer IVF: deterministic, self-excluding, rank-dense, and
+    recall comparable to the trained quantizer at equal nprobe budget."""
+    from mee_spark.similarity import ann_bruteforce_topk, ann_ivf_topk_fixed
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    probes = list(range(10))
+    res = ann_ivf_topk_fixed(emb, probes, k=10, n_centroids=16, nprobe=4).collect()
+    res2 = ann_ivf_topk_fixed(emb, probes, k=10, n_centroids=16, nprobe=4).collect()
+    assert sorted(map(tuple, res)) == sorted(map(tuple, res2))
+    by_probe = {}
+    for r in res:
+        assert r["vec_id"] != r["probe_id"]
+        by_probe.setdefault(r["probe_id"], []).append(r["rank"])
+    for pid, ranks in by_probe.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    brute = {}
+    for r in ann_bruteforce_topk(emb, probes, k=10).collect():
+        brute.setdefault(r["probe_id"], set()).add(r["vec_id"])
+    hits = sum(1 for r in res if r["vec_id"] in brute.get(r["probe_id"], set()))
+    recall = hits / (10 * len(probes))
+    assert recall >= 0.3, f"fixed-IVF recall {recall}"
