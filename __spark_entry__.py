@@ -581,6 +581,30 @@ def q_rel_diff_lag(spark, sf_dir):
     return diff_lag(_read(spark, sf_dir, "events"))
 
 
+def q_rel_cdc_trigger(spark, sf_dir):
+    from mee_spark.relational import cdc_trigger
+
+    # '~DELETE' exercises the negation form; pytest covers ALL / X|Y /
+    # unparseable against the reference truth table
+    return cdc_trigger(_read(spark, sf_dir, "events"), trigger="~DELETE")
+
+
+def q_rel_date_arithmetic(spark, sf_dir):
+    from mee_spark.relational import date_arithmetic
+
+    # UTC session tz: parquet timestamps are UTC instants; DuckDB reads
+    # them as naive UTC wall-clock, so day truncation must agree
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return date_arithmetic(_read(spark, sf_dir, "events"))
+
+
+def q_rel_date_ranges(spark, sf_dir):
+    from mee_spark.relational import date_ranges
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return date_ranges(_read(spark, sf_dir, "events"))
+
+
 # ------------------------------------------------------------ the contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -618,7 +642,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_topk_per_group": q_rel_topk_per_group,
         "rel_selfjoin_roles": q_rel_selfjoin_roles,
         "rel_cdc_normalize": q_rel_cdc_normalize,
+        "rel_cdc_trigger": q_rel_cdc_trigger,
         "rel_diff_lag": q_rel_diff_lag,
+        "rel_date_arithmetic": q_rel_date_arithmetic,
+        "rel_date_ranges": q_rel_date_ranges,
     }
 
 
@@ -761,5 +788,34 @@ SELECT event_id, user_id, round(coalesce(prev, 0.0), 6) AS prev_value,
             WHEN prev <> value THEN 'CHANGED'
             ELSE 'SAME' END AS change
 FROM l
+""",
+        # parse_trigger('~DELETE') == {INSERT, UPDATE}; the expected op set
+        # is spelled literally here (NOT via the parser) so the oracle stays
+        # independent of the code under test
+        "rel_cdc_trigger": """
+WITH m AS (
+  SELECT event_id::BIGINT AS event_id,
+         CASE WHEN event_type = 'purchase' THEN 'INSERT'
+              WHEN event_type IN ('click', 'view') THEN 'UPDATE'
+              WHEN event_type = 'signup' THEN 'DELETE'
+              ELSE 'OTHER' END AS op
+  FROM events)
+SELECT event_id, op FROM m WHERE op IN ('INSERT', 'UPDATE')
+""",
+        "rel_date_arithmetic": """
+SELECT event_id::BIGINT AS event_id,
+       strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       strftime(ts::DATE - INTERVAL 1 DAY, '%Y-%m-%d') AS yesterday,
+       strftime(ts + INTERVAL 1 WEEK, '%Y-%m-%d %H:%M:%S') AS plus_week,
+       strftime(ts - INTERVAL 1 MONTH, '%Y-%m-%d %H:%M:%S') AS minus_month
+FROM events
+""",
+        "rel_date_ranges": """
+WITH spans AS (SELECT user_id::BIGINT AS user_id,
+                      min(ts::DATE) AS d0, max(ts::DATE) AS d1
+               FROM events GROUP BY 1)
+SELECT user_id,
+       strftime(unnest(generate_series(d0, d1, INTERVAL 1 DAY)), '%Y-%m-%d') AS day
+FROM spans
 """,
     }

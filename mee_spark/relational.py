@@ -155,18 +155,71 @@ def selfjoin_roles(events: DataFrame) -> DataFrame:
     )
 
 
+def _cdc_op():
+    """Event-type → CDC-op mapping shared by the CDC operators (mee's
+    12-way event matrix collapsed to the op axis)."""
+    return (
+        F.when(F.col("event_type") == "purchase", "INSERT")
+        .when(F.col("event_type") == "click", "UPDATE")
+        .when(F.col("event_type") == "view", "UPDATE")
+        .when(F.col("event_type") == "signup", "DELETE")
+        .otherwise("OTHER")
+    )
+
+
+def cdc_trigger(events: DataFrame, trigger: str = "~DELETE") -> DataFrame:
+    """F3 — the trigger GRAMMAR end-to-end (mee `parseTrigger`,
+    `modules/handlers/__init__.py:10-52`): parse ``ALL`` / ``X|Y`` / ``~X``
+    into the op set and keep only events whose CDC op fires. Round 1
+    hardcoded the op filter; this runs the actual grammar."""
+    from mee_spark.triggers import trigger_filter
+
+    return (
+        events.select(F.col("event_id").cast("long").alias("event_id"),
+                      _cdc_op().alias("op"))
+        .filter(trigger_filter(F.col("op"), trigger))
+    )
+
+
+def date_arithmetic(events: DataFrame) -> DataFrame:
+    """2.7 date/time scalars over event time (mee `utils/timeutil.py`):
+    day truncation, ``yesterday``, ``deltatotime('+1 week')`` and
+    ``deltatotime('-1 month')`` — emitted as formatted strings so the
+    values are engine-portable byte-for-byte."""
+    from mee_spark.timeops import delta_col, yesterday_col
+
+    return events.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day"),
+        F.date_format(yesterday_col(F.col("ts")), "yyyy-MM-dd").alias("yesterday"),
+        F.date_format(delta_col(F.col("ts"), "+1 week"),
+                      "yyyy-MM-dd HH:mm:ss").alias("plus_week"),
+        F.date_format(delta_col(F.col("ts"), "-1 month"),
+                      "yyyy-MM-dd HH:mm:ss").alias("minus_month"),
+    )
+
+
+def date_ranges(events: DataFrame) -> DataFrame:
+    """2.7 ``rangePeriod``: per user, the inclusive day list spanning
+    first→last event, exploded to rows (the reference expands such day
+    lists to drive date-partitioned scans; here Catalyst explodes them
+    executor-side — no driver loop)."""
+    from mee_spark.timeops import range_period_col
+
+    spans = events.groupBy(F.col("user_id").cast("long").alias("user_id")).agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1"))
+    return spans.select(
+        "user_id",
+        F.explode(range_period_col(F.col("d0"), F.col("d1"))).alias("_day"),
+    ).select("user_id", F.date_format("_day", "yyyy-MM-dd").alias("day"))
+
+
 def cdc_normalize(events: DataFrame) -> DataFrame:
     """F3/F4 — trigger filtering + op normalization (mee `parseTrigger`
     `modules/handlers/__init__.py:10-52` and the UPDATE filter-transition
     rewrite `commonhandler.py:549-585`): event types map onto CDC ops;
     an UPDATE crossing the value-threshold 'filter' becomes INSERT/DELETE."""
-    op = (
-        F.when(F.col("event_type") == "purchase", "INSERT")
-        .when(F.col("event_type") == "click", "UPDATE")
-        .when(F.col("event_type") == "view", "UPDATE")
-        .when(F.col("event_type") == "signup", "DELETE")
-        .otherwise("OTHER")  # ~X in the trigger grammar: filtered below
-    )
+    op = _cdc_op()
     passes = F.col("value") > 10.0
     normalized = (
         F.when((op == "UPDATE") & passes, "INSERT")
