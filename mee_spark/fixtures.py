@@ -73,10 +73,19 @@ def gen_pages_pandas(n_rows: int, start_row: int = 0, seed: int = 42) -> pd.Data
     the CDF per call, ~30x slower, which made >100k-doc bench corpora
     impractical to synthesize.
     """
+    return gen_pages_for_indices(range(start_row, start_row + n_rows), seed)
+
+
+def gen_pages_for_indices(indices, seed: int = 42) -> pd.DataFrame:
+    """Page rows for an arbitrary index iterable — the same per-index RNG
+    stream contract as contiguous generation, so a streaming source that
+    delivers indices out of order (e.g. the rate source across partitions)
+    still synthesizes byte-identical rows."""
     cum = _cum_weights()
     vocab = np.array([f"w{i:06d}" for i in range(VOCAB_SIZE)])
     rows = []
-    for i in range(start_row, start_row + n_rows):
+    for i in indices:
+        i = int(i)
         rng = np.random.default_rng(seed * 1_000_003 + i)
         doclen = int(np.clip(rng.lognormal(np.log(120), 0.6), 5, 2000))
         toks = vocab[np.minimum(np.searchsorted(cum, rng.random(doclen)),

@@ -27,23 +27,95 @@ from mee_spark.fixtures import PAGES_SCHEMA
 def read_page_stream(spark: SparkSession, source_dir: str,
                      max_files_per_trigger: int | None = None) -> DataFrame:
     """File-source stream of page rows (drop parquet files into
-    ``source_dir``; Kafka source is a one-line swap on a cluster)."""
+    ``source_dir``). One backend of ``page_stream_source``."""
     reader = spark.readStream.schema(PAGES_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return reader.parquet(source_dir)
 
 
+def page_stream_source(
+    spark: SparkSession,
+    kind: str = "files",
+    *,
+    source_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+    rows_per_second: int = 200,
+    kafka_bootstrap: str | None = None,
+    kafka_topic: str | None = None,
+) -> DataFrame:
+    """The event-bus switch point (mee S3, `services/listenservice.py:
+    192-220`): three backends, ONE page-row schema, so every downstream
+    operator (stateful dedup, windowed stats, incremental indexing) is
+    source-agnostic — the swap is demonstrated by tests running the same
+    pipeline over two backends, not asserted in a comment.
+
+    * ``files`` — parquet drop-dir (exactly-once file tracking; local/dev).
+    * ``rate``  — Spark's built-in rate source as an embedded broker
+      stand-in (infinite, ordered, replayable offsets); each offset is
+      deterministically synthesized into a page row via the fixture
+      generator, so outputs are byte-reproducible.
+    * ``kafka`` — the real broker: value = JSON page payload (html
+      base64-encoded). Requires the spark-sql-kafka connector jar; absence
+      raises at plan time, which tests turn into a skip.
+    """
+    if kind == "files":
+        if not source_dir:
+            raise ValueError("files source needs source_dir")
+        return read_page_stream(spark, source_dir, max_files_per_trigger)
+    if kind == "rate":
+        import pandas as pd
+
+        from mee_spark.fixtures import gen_pages_for_indices
+
+        raw = (spark.readStream.format("rate")
+               .option("rowsPerSecond", rows_per_second).load())
+
+        def synth(batches):
+            for pdf in batches:
+                if len(pdf):
+                    yield gen_pages_for_indices(pdf["value"].to_numpy())
+                else:
+                    yield pd.DataFrame(
+                        {f.name: pd.Series(dtype="object") for f in PAGES_SCHEMA})
+
+        return raw.select("value").mapInPandas(synth, PAGES_SCHEMA)
+    if kind == "kafka":
+        if not (kafka_bootstrap and kafka_topic):
+            raise ValueError("kafka source needs kafka_bootstrap and kafka_topic")
+        raw = (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", kafka_bootstrap)
+            .option("subscribe", kafka_topic)
+            .option("startingOffsets", "earliest")
+            .load()
+        )
+        payload = ("url string, warc_ts timestamp, html_b64 string, "
+                   "text string, lang string")
+        return (
+            raw.select(F.from_json(F.col("value").cast("string"), payload).alias("p"))
+            .select(F.col("p.url").alias("url"), F.col("p.warc_ts").alias("warc_ts"),
+                    F.unbase64(F.col("p.html_b64")).alias("html"),
+                    F.col("p.text").alias("text"), F.col("p.lang").alias("lang"))
+        )
+    raise ValueError(f"unknown page stream source kind: {kind!r}")
+
+
 def incremental_index_stream(
     spark: SparkSession, source_dir: str, index_dir: str, cfg: IndexConfig,
     checkpoint_dir: str, available_now: bool = True,
+    source: DataFrame | None = None,
 ) -> StreamingQuery:
     """Stream pages → incremental index generations.
 
     Each micro-batch becomes one generation via the batch incremental
     builder; Structured Streaming's checkpoint gives exactly-once batch
     tracking (mee's Kafka offset cache, `basecosumerservice.py:36-53`),
-    and the builder's own snapshot-diff makes replays idempotent."""
+    and the builder's own snapshot-diff makes replays idempotent.
+
+    ``source``: any streaming DataFrame of page rows (e.g. from
+    ``page_stream_source``) — defaults to the file backend over
+    ``source_dir``. The indexing plan is identical for every backend."""
     from mee_spark import manifest as mf
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -59,8 +131,9 @@ def incremental_index_stream(
             build_full_index(spark, batch_df, cfg, index_dir, gen=1,
                              lineage={"stream_batch": batch_id})
 
+    stream = source if source is not None else read_page_stream(spark, source_dir)
     writer = (
-        read_page_stream(spark, source_dir)
+        stream
         .writeStream.foreachBatch(apply_batch)
         .option("checkpointLocation", checkpoint_dir)
     )
