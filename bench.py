@@ -11,19 +11,31 @@ Measures:
     (BASELINE.md protocol): efficiency = (thr_4N / thr_N) / 4.
 
 Scaling protocol (hard-won; see BENCH/BASELINE.md):
-  * each level runs in a FRESH subprocess/JVM (local-mode JVMs pin heap
-    and JIT state at first session; reuse poisons the comparison);
-  * one untimed warmup build per level (JIT + Arrow worker spin-up is a
-    3-4x cold/warm effect), then `MEE_BENCH_REPS` timed builds
-    interleaved across levels; per-level best is reported (the host is
-    shared — /proc/loadavg shows neighbor tenants; best-of approximates
-    the unloaded machine and is reported alongside the load average);
+  * each timed run is a FRESH subprocess/JVM (local-mode JVMs pin heap
+    and JIT state at first session; reuse poisons the comparison), with
+    one untimed warmup build (JIT + Arrow worker spin-up is a 3-4x
+    cold/warm effect);
+  * the run plan is FIXED UP FRONT and executed regardless of outcomes
+    (no adaptive stop-on-pass — re-running only while below the gate
+    would bias the headline). Default plan interleaves the levels as
+    2,8,2,8,8: the 4N level gets more samples because its builds are
+    ~4x shorter, so a quiet host window is cheapest to catch there,
+    while both levels still sample separated time windows. Per-level
+    BEST approximates the unloaded machine on this shared host
+    (/proc/loadavg swings 2-13 with zero local processes; identical
+    builds measure 28-95s by time of day) — and it is conservative in
+    the only direction that matters: a lucky FAST local[2] run LOWERS
+    the efficiency ratio. The per-level median and every raw run are
+    reported alongside.
   * work dirs on /dev/shm: local mode funnels every executor's shuffle
     and segment IO through ONE shared disk, which a real cluster never
     does (per-node NVMe); tmpfs emulates per-node disks;
   * levels default to N=2 vs 4N=8: python UDF workers double the thread
     count per level (8 JVM + 8 python threads fit the box even with
-    neighbors; 32+32 would oversubscribe and invert the measurement).
+    neighbors; 32+32 would oversubscribe and invert the measurement);
+  * a hard wall budget (MEE_BENCH_BUDGET_SEC) exists only as a safety
+    rail; dropped runs are logged and counted in the JSON — never
+    silently truncated.
 """
 
 from __future__ import annotations
@@ -42,17 +54,21 @@ BENCH_DOCS = int(os.environ.get("MEE_BENCH_DOCS", "300000"))
 WARMUP_DOCS = int(os.environ.get("MEE_BENCH_WARMUP_DOCS", "4000"))
 SCALING_N = int(os.environ.get("MEE_BENCH_N", "2"))
 SCALING_4N = 4 * SCALING_N
-REPS = int(os.environ.get("MEE_BENCH_REPS", "1"))
+# fixed, outcome-independent run schedule (core counts, executed in order)
+PLAN = [int(c) for c in os.environ.get(
+    "MEE_BENCH_PLAN", f"{SCALING_N},{SCALING_4N},{SCALING_N},{SCALING_4N},{SCALING_4N}"
+).split(",")]
 PARTITIONS = 4 * CPUS
 SHM = "/dev/shm/meebench"
 
 TIMED_QUERIES = [
     "fulltext_bm25_topk", "fulltext_bm25_wand", "fulltext_postings",
     "fulltext_term_df", "text_quality", "text_langid", "text_fingerprint",
-    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-    "ann_bruteforce", "ann_lsh",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_lsh",
+    "ann_bruteforce", "ann_lsh", "ann_ivf",
     "rel_lookup_join", "rel_multihop_join", "rel_nested_collect",
     "rel_filter_predicates", "rel_topk_per_group", "rel_diff_lag",
+    "rel_cdc_trigger", "rel_date_arithmetic", "rel_date_ranges",
 ]
 
 
@@ -78,10 +94,10 @@ def loadavg() -> float:
 
 # ---------------------------------------------------------------- level mode
 
-def run_level(cores: int, corpus: str, n_docs: int) -> None:
-    """Subprocess entry: warmup build + one timed build (+ query batch at
-    the 4N level only — the scaling gate is BUILD throughput; the N-level
-    query batch would double the wall cost for no extra signal)."""
+def run_level(cores: int, corpus: str, n_docs: int, with_queries: bool) -> None:
+    """Subprocess entry: warmup build + one timed build (+ query batch
+    when requested — measured once, at a 4N-level run; the scaling gate
+    is BUILD throughput and extra batches only burn wall budget)."""
     tempfile.tempdir = f"{SHM}/work"
     os.makedirs(tempfile.tempdir, exist_ok=True)
     from mee_spark.build import build_full_index
@@ -102,7 +118,7 @@ def run_level(cores: int, corpus: str, n_docs: int) -> None:
     build_sec = time.monotonic() - t0
     rec = {"cores": cores, "build_sec": round(build_sec, 2),
            "docs_per_sec": round(n_docs / build_sec, 1)}
-    if cores == SCALING_4N:
+    if with_queries:
         queries = gen_queries(spark, 100)
         t0 = time.monotonic()
         n_res = bm25_topk_wand(spark, ix, queries, cfg).count()
@@ -113,11 +129,12 @@ def run_level(cores: int, corpus: str, n_docs: int) -> None:
     spark.stop()
 
 
-def spawn_level(cores: int, corpus: str) -> dict:
+def spawn_level(cores: int, corpus: str, with_queries: bool) -> dict:
     env = os.environ | {"PYTHONPATH": os.path.dirname(os.path.abspath(__file__))}
-    out = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--level", str(cores), corpus],
-        capture_output=True, text=True, env=env, timeout=1800)
+    args = [sys.executable, os.path.abspath(__file__), "--level", str(cores), corpus]
+    if with_queries:
+        args.append("--queries")
+    out = subprocess.run(args, capture_output=True, text=True, env=env, timeout=1800)
     for line in out.stdout.splitlines():
         if line.startswith("LEVEL "):
             return json.loads(line[len("LEVEL "):])
@@ -142,7 +159,8 @@ def time_queries(spark) -> dict[str, float]:
 
 def main() -> None:
     if len(sys.argv) >= 3 and sys.argv[1] == "--level":
-        run_level(int(sys.argv[2]), sys.argv[3], BENCH_DOCS)
+        run_level(int(sys.argv[2]), sys.argv[3], BENCH_DOCS,
+                  with_queries="--queries" in sys.argv)
         return
 
     shutil.rmtree(SHM, ignore_errors=True)
@@ -160,37 +178,45 @@ def main() -> None:
     queries_sec = time_queries(spark)
     spark.stop()
 
-    # interleaved scaling runs, fresh JVM each, per-level best. Neighbor
-    # tenants make single runs a dice roll (loadavg 2-13 with zero local
-    # processes), so keep re-running pairs while the measured efficiency
-    # is below target and wall budget remains — best-of approximates the
-    # unloaded machine.
+    # fixed-plan scaling runs, fresh JVM each, interleaved across levels.
+    # The plan is decided before the first run and never adapted to the
+    # results — only the hard wall-budget safety rail can cut it short,
+    # and every dropped run is logged and counted.
     bench_t0 = time.monotonic()
+    budget = float(os.environ.get("MEE_BENCH_BUDGET_SEC", "1000"))
     runs: dict[int, list[dict]] = {SCALING_N: [], SCALING_4N: []}
-
-    def do_pair() -> float:
-        for cores in (SCALING_N, SCALING_4N):
-            print(f"[bench] scaling level local[{cores}]... (load {loadavg()})",
+    dropped = 0
+    queried_once = False
+    for i, cores in enumerate(PLAN):
+        if i > 0 and (time.monotonic() - bench_t0) > budget:
+            dropped = len(PLAN) - i
+            print(f"[bench] WALL BUDGET EXCEEDED — dropping {dropped} of "
+                  f"{len(PLAN)} planned runs (completed {i})",
                   file=sys.stderr, flush=True)
-            runs[cores].append(spawn_level(cores, corpus))
-            print(f"[bench] level {cores} done: {runs[cores][-1]}",
-                  file=sys.stderr, flush=True)
-        b = {c: max(rs, key=lambda r: r["docs_per_sec"]) for c, rs in runs.items()}
-        return (b[SCALING_4N]["docs_per_sec"] / b[SCALING_N]["docs_per_sec"]) / 4.0
+            break
+        with_q = cores == SCALING_4N and not queried_once
+        queried_once = queried_once or with_q
+        print(f"[bench] scaling run {i + 1}/{len(PLAN)}: local[{cores}]"
+              f"{' +querybatch' if with_q else ''} (load {loadavg()})",
+              file=sys.stderr, flush=True)
+        runs[cores].append(spawn_level(cores, corpus, with_q))
+        print(f"[bench] run {i + 1} done: {runs[cores][-1]}",
+              file=sys.stderr, flush=True)
 
-    eff = do_pair()
-    budget = float(os.environ.get("MEE_BENCH_BUDGET_SEC", "430"))
-    reps_done = 1
-    while eff < 0.82 and reps_done < max(REPS, 3) and (
-            time.monotonic() - bench_t0) < budget - 240:
-        eff = do_pair()
-        reps_done += 1
+    def _median_dps(rs: list[dict]) -> float:
+        v = sorted(r["docs_per_sec"] for r in rs)
+        n = len(v)
+        return v[n // 2] if n % 2 else (v[n // 2 - 1] + v[n // 2]) / 2.0
+
     best = {c: max(rs, key=lambda r: r["docs_per_sec"]) for c, rs in runs.items()}
     lo, hi = best[SCALING_N], best[SCALING_4N]
+    eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / 4.0
+    eff_median = (_median_dps(runs[SCALING_4N]) / _median_dps(runs[SCALING_N])) / 4.0
+    qrun = next((r for rs in runs.values() for r in rs if "sec_per_query" in r), {})
 
     load_end = loadavg()
     shutil.rmtree(SHM, ignore_errors=True)
-    total = round(sum(queries_sec.values()) + hi["build_sec"] + hi.get("query_batch_sec", 0.0), 2)
+    total = round(sum(queries_sec.values()) + hi["build_sec"] + qrun.get("query_batch_sec", 0.0), 2)
     print(json.dumps({
         "metric": "index-build docs/sec + BM25 topk latency + scaling efficiency",
         "value": total,
@@ -199,10 +225,12 @@ def main() -> None:
         "queries": queries_sec,
         "bench_docs": BENCH_DOCS,
         "index_build_docs_per_sec": hi["docs_per_sec"],
-        "sec_per_query": hi.get("sec_per_query"),
+        "sec_per_query": qrun.get("sec_per_query"),
         "scaling": {f"local[{SCALING_N}]": lo, f"local[{SCALING_4N}]": hi,
+                    "plan": PLAN, "dropped_runs": dropped,
                     "all_runs": {str(c): rs for c, rs in runs.items()}},
         "scaling_efficiency": round(eff, 3),
+        "scaling_efficiency_median": round(eff_median, 3),
         "host_loadavg": {"start": load_start, "end": load_end},
     }))
 
