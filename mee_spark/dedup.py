@@ -27,6 +27,20 @@ from mee_spark.textops import hash15
 from mee_spark.textprep import tokenize_col
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Widen narrow scans before hash-heavy per-doc expansion.
+
+    A small single-file input scans as ONE task, serializing millions of
+    md5/fold calls that happen before the first shuffle. At corpus scale
+    inputs scan wide naturally (many files), so the repartition is gated
+    on the actual scan width — the big-data path stays shuffle-free."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def dedup_exact(docs: DataFrame) -> DataFrame:
     """(doc_id, n_dupes): one survivor (min doc_id) per canonical text.
 
@@ -69,7 +83,7 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5) -> 
     this is the blocking step (plus minhash banding upstream, below);
     the join key is a uniform hash so the shuffle is skew-resistant.
     """
-    sh = shingles(docs, n)
+    sh = shingles(spread(docs), n)
     sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -128,7 +142,7 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 16, n: int = 3) -> Dat
 
 def minhash_lsh_pairs(
     docs: DataFrame, num_hashes: int = 16, bands: int = 4, n: int = 3,
-    verify_threshold: float = 0.5,
+    verify_threshold: float = 0.5, broadcast_limit: int = 2_000_000,
 ) -> DataFrame:
     """(doc_id_a, doc_id_b, jaccard): banded-LSH candidates verified by
     exact shingle Jaccard. rows-per-band = num_hashes//bands.
@@ -139,6 +153,7 @@ def minhash_lsh_pairs(
     all-pairs Jaccard above is its verify kernel and small-scale oracle.
     """
     rows = num_hashes // bands
+    docs = spread(docs)
     sigs = minhash_signatures(docs, num_hashes, n)
     banded = sigs.select(
         "doc_id",
@@ -163,13 +178,17 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # verify CANDIDATES ONLY (the whole point of LSH): restrict the shingle
-    # join to candidate pairs instead of computing all-pairs Jaccard. No
-    # forced broadcast hint: candidate volume grows with corpus near-dup
-    # density, and past the broadcast limit a pinned hint dies where a
-    # shuffle join would cruise — AQE picks broadcast when it actually fits.
+    # join to candidate pairs instead of computing all-pairs Jaccard. The
+    # candidate set is materialized once (localCheckpoint: distributed, no
+    # driver data) and the broadcast hint is GATED ON ITS MEASURED COUNT —
+    # usually tiny, so the two verify joins go broadcast-hash with zero
+    # shingle shuffles; past the gate (10^12-doc near-dup density) it
+    # degrades to a shuffle join instead of dying at the broadcast ceiling.
+    candidates = candidates.localCheckpoint(eager=True)
     sh = shingles(docs, n)
     sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("sz"))
-    cand_b = candidates
+    cand_b = (F.broadcast(candidates) if candidates.count() <= broadcast_limit
+              else candidates)
     common = (
         cand_b
         .join(sh.withColumnRenamed("doc_id", "doc_id_a"), "doc_id_a")
@@ -199,7 +218,7 @@ def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
     conditional sum → bit-OR aggregate. All JVM-side; the groupBy keys
     (doc_id, j) are uniform."""
     toks = tokenize_col(F.col("text"))
-    t = docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+    t = spread(docs).select(F.col("doc_id").cast("long").alias("doc_id"),
                     F.explode(toks).alias("tok"))
     h = t.select("doc_id", hash15(F.col("tok")).alias("h"))
     bitsdf = h.select(

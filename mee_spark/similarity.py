@@ -27,12 +27,23 @@ from pyspark.sql.types import IntegerType
 
 def cosine_col(a: Column, b: Column) -> Column:
     """Double-precision cosine similarity of two array<float> columns."""
-    dot = F.aggregate(
+    return dot_pair_col(a, b) / (norm_col(a) * norm_col(b))
+
+
+def dot_pair_col(a: Column, b: Column) -> Column:
+    """float64 dot product, left-to-right fold (oracle-identical order)."""
+    return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0), lambda acc, v: acc + v)
-    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
-    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
-    return dot / (na * nb)
+
+
+def norm_col(a: Column) -> Column:
+    """float64 L2 norm, left-to-right fold. Hoist this to one column per
+    VECTOR before a pairwise join: inline cosine costs three 64-element
+    folds per PAIR; with norms precomputed the pair pays one. The value is
+    bit-identical (same expressions, evaluated once instead of per pair)."""
+    return F.sqrt(F.aggregate(
+        a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
 
 
 def ann_bruteforce_topk(emb: DataFrame, probe_ids: list[int], k: int = 10) -> DataFrame:
@@ -248,10 +259,12 @@ def ann_ivf_topk_fixed(emb: DataFrame, probe_ids: list[int], k: int = 10,
     seed alone, so a SQL engine given the same centroid constants produces
     the identical result set — this closes the trained variant's
     ``no_oracle`` gap without changing the scale shape."""
+    from mee_spark.dedup import spread
+
     cent = fixed_centroids(dim, n_centroids, seed)
     pids = [int(p) for p in probe_ids]
-    assigned = emb.select("vec_id", "embedding",
-                          ivf_cell_col(F.col("embedding"), cent).alias("cell"))
+    assigned = spread(emb).select("vec_id", "embedding",
+                                  ivf_cell_col(F.col("embedding"), cent).alias("cell"))
     probes = (
         emb.filter(F.col("vec_id").isin(pids))
         .select(F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pvec"),
@@ -279,12 +292,16 @@ def embedding_dup_pairs(emb: DataFrame, threshold: float = 0.98) -> DataFrame:
     blocked variant below — the same role ngram_jaccard_pairs plays for
     minhash LSH. NEVER the 10^12-vector path; use
     ``embedding_dup_pairs_lsh`` there."""
-    a = emb.select(F.col("vec_id").alias("vec_id_a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("vec_id_b"), F.col("embedding").alias("vb"))
+    withn = emb.select("vec_id", "embedding", norm_col(F.col("embedding")).alias("nrm"))
+    a = withn.select(F.col("vec_id").alias("vec_id_a"), F.col("embedding").alias("va"),
+                     F.col("nrm").alias("na"))
+    b = withn.select(F.col("vec_id").alias("vec_id_b"), F.col("embedding").alias("vb"),
+                     F.col("nrm").alias("nb"))
     return (
         a.join(b, F.col("vec_id_a") < F.col("vec_id_b"))
         .select("vec_id_a", "vec_id_b",
-                F.round(cosine_col(F.col("va"), F.col("vb")), 6).alias("cos"))
+                F.round(dot_pair_col(F.col("va"), F.col("vb"))
+                        / (F.col("na") * F.col("nb")), 6).alias("cos"))
         .filter(F.col("cos") >= threshold)
     )
 
@@ -315,26 +332,31 @@ def embedding_dup_pairs_lsh(
     angle <=18°) the default 16 planes / radius 1 keeps recall high while
     the bucket groupBy stays skew-free (buckets are hyperplane-balanced).
     """
+    from mee_spark.dedup import spread
+
     planes = hyperplanes(dim, n_planes, seed)
-    bucketed = emb.select(
+    bucketed = spread(emb).select(
         "vec_id", F.col("embedding"),
+        norm_col(F.col("embedding")).alias("nrm"),
         lsh_bucket_col(F.col("embedding"), planes).alias("bkt"))
-    slim = bucketed.select("vec_id", "bkt")
+    # vectors + precomputed norms ride THROUGH the bucket join (a 64-float
+    # array is ~0.5 KB — cheaper to carry than to re-join 2x afterwards),
+    # and the verify pays ONE fold per candidate (dot; norms hoisted)
     masks = F.array(*[F.lit(m) for m in _probe_masks(n_planes, probe_radius)])
-    probed_a = slim.select(
-        F.col("vec_id").alias("vec_id_a"),
+    probed_a = bucketed.select(
+        F.col("vec_id").alias("vec_id_a"), F.col("embedding").alias("va"),
+        F.col("nrm").alias("na"),
         F.explode(F.transform(masks, lambda m: F.col("bkt").bitwiseXOR(m))).alias("pbkt"))
+    side_b = bucketed.select(
+        F.col("vec_id").alias("vec_id_b"), F.col("embedding").alias("vb"),
+        F.col("nrm").alias("nb"), F.col("bkt").alias("pbkt"))
     # each pair at hamming distance d <= radius matches on exactly one mask
     # (the XOR of the two buckets) — no duplicate candidates, no distinct
-    cand = probed_a.join(
-        slim.select(F.col("vec_id").alias("vec_id_b"), F.col("bkt").alias("pbkt")),
-        "pbkt").filter(F.col("vec_id_a") < F.col("vec_id_b")).select(
-        "vec_id_a", "vec_id_b")
-    va = bucketed.select(F.col("vec_id").alias("vec_id_a"), F.col("embedding").alias("va"))
-    vb = bucketed.select(F.col("vec_id").alias("vec_id_b"), F.col("embedding").alias("vb"))
     return (
-        cand.join(va, "vec_id_a").join(vb, "vec_id_b")
+        probed_a.join(side_b, "pbkt")
+        .filter(F.col("vec_id_a") < F.col("vec_id_b"))
         .select("vec_id_a", "vec_id_b",
-                F.round(cosine_col(F.col("va"), F.col("vb")), 6).alias("cos"))
+                F.round(dot_pair_col(F.col("va"), F.col("vb"))
+                        / (F.col("na") * F.col("nb")), 6).alias("cos"))
         .filter(F.col("cos") >= threshold)
     )
