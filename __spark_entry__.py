@@ -115,6 +115,60 @@ def q_fulltext_bm25_wand(spark, sf_dir):
     )
 
 
+# deterministic snapshot-2 edit rules shared by the Spark lifecycle query
+# and its SQL oracle: delete doc_id%17==3, append a marker to doc_id%13==2,
+# add a fresh url (id+1_000_000) derived from doc_id%29==5
+_LC_DEL, _LC_CHG, _LC_ADD = 17, 13, 29
+_LC_MARKER = " lifecycle marker tokens"
+_LC_FRESH = " fresh page"
+LIFECYCLE_QUERIES = BM25_QUERIES + [(8, "lifecycle marker fresh page", 10)]
+
+
+def q_fulltext_lifecycle(spark, sf_dir):
+    """The INCREMENTAL lifecycle under the value-level oracle: full build
+    of snapshot-1, snapshot-diff incremental build of snapshot-2 (deletes
+    → tombstones, changed text → re-index keeping the docID, added urls →
+    fresh docIDs), then BM25/WAND over the 2-generation chain — so
+    last-writer-wins masking, the per-range tombstone join, and the
+    live-df decode path are all hash-checked against DuckDB computing
+    BM25 directly on the edited corpus. (Compaction equivalence is
+    pytest-gated; this queries the chain WITH tombstones on purpose.)"""
+    import tempfile
+
+    from mee_spark.build import build_full_index, build_incremental, live_docmap
+    from mee_spark.config import IndexConfig
+    from mee_spark.query_wand import bm25_topk_wand
+
+    cfg = IndexConfig(num_doc_partitions=8, num_term_buckets=8,
+                      doc_range_size=256, block_size=64)
+    docs = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text")
+    snap1 = docs.select(F.format_string("%012d", F.col("doc_id")).alias("url"), "text")
+    kept = docs.filter(F.col("doc_id") % _LC_DEL != 3)
+    edited = kept.select(
+        F.format_string("%012d", F.col("doc_id")).alias("url"),
+        F.when(F.col("doc_id") % _LC_CHG == 2,
+               F.concat(F.col("text"), F.lit(_LC_MARKER)))
+        .otherwise(F.col("text")).alias("text"))
+    added = docs.filter(F.col("doc_id") % _LC_ADD == 5).select(
+        F.format_string("%012d", F.col("doc_id") + 1_000_000).alias("url"),
+        F.concat(F.col("text"), F.lit(_LC_FRESH)).alias("text"))
+    snap2 = edited.unionByName(added)
+
+    index_dir = tempfile.mkdtemp(prefix="mee_lifecycle_ix_")
+    build_full_index(spark, snap1, cfg, index_dir, gen=1, use_html=False)
+    build_incremental(spark, snap2, cfg, index_dir, gen=2, use_html=False)
+    qdf = spark.createDataFrame(LIFECYCLE_QUERIES, QUERIES_SCHEMA)
+    res = bm25_topk_wand(spark, index_dir, qdf, cfg, round_digits=6)
+    docmap = live_docmap(spark, index_dir, [1, 2]).select(
+        F.col("doc_id").alias("_engine_id"),
+        F.col("url").cast("long").alias("orig_doc_id"))
+    return (
+        res.join(F.broadcast(docmap), res["doc_id"] == docmap["_engine_id"])
+        .select("query_id", "rank", F.col("orig_doc_id").alias("doc_id"), "score")
+    )
+
+
 def q_fulltext_bm25_topk(spark, sf_dir):
     from mee_spark.postings import build_postings
     from mee_spark.query import bm25_topk_exhaustive
@@ -136,11 +190,20 @@ postings AS (
   FROM tok t JOIN doclen l USING (doc_id) GROUP BY 1, 2)
 """
 
-_BM25_VALUES = ", ".join(f"({q}, '{t}', {k})" for q, t, k in BM25_QUERIES)
 
-_BM25_SQL = f"""
-WITH {_FULLTEXT_CTE},
-qs(query_id, query_text, k) AS (VALUES {_BM25_VALUES}),
+def _bm25_sql_over(corpus_sql: str, queries) -> str:
+    """Textbook BM25 top-k SQL over an arbitrary (doc_id, text) corpus
+    expression — shared by the static corpus and the lifecycle oracle."""
+    vals = ", ".join(f"({q}, '{t}', {k})" for q, t, k in queries)
+    return f"""
+WITH corpus AS ({corpus_sql}),
+docs AS (SELECT doc_id, {_toks('text')} AS toks FROM corpus),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM docs),
+doclen AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM docs),
+postings AS (
+  SELECT t.term, t.doc_id, count(*)::BIGINT AS tf, any_value(l.dl) AS dl
+  FROM tok t JOIN doclen l USING (doc_id) GROUP BY 1, 2),
+qs(query_id, query_text, k) AS (VALUES {vals}),
 qterms AS (SELECT DISTINCT query_id, k, unnest({_toks('query_text')}) AS term FROM qs),
 dfreq AS (SELECT term, count(*)::BIGINT AS df FROM postings
           WHERE term IN (SELECT term FROM qterms) GROUP BY 1),
@@ -156,6 +219,21 @@ ranked AS (SELECT query_id::INT AS query_id, doc_id, round(score, 6) AS score, k
                                      ORDER BY round(score, 6) DESC, doc_id) AS rank
            FROM scored)
 SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= k
+"""
+
+
+_BM25_SQL = _bm25_sql_over("SELECT doc_id, text FROM documents", BM25_QUERIES)
+
+# the lifecycle oracle computes BM25 DIRECTLY on the edited corpus — it has
+# no notion of generations or tombstones; the engine must reach the same
+# answer through its full build + snapshot-diff + masked multi-gen query
+_LC_CORPUS_SQL = f"""
+SELECT doc_id, CASE WHEN doc_id % {_LC_CHG} = 2 THEN text || '{_LC_MARKER}'
+                    ELSE text END AS text
+FROM documents WHERE doc_id % {_LC_DEL} <> 3
+UNION ALL
+SELECT doc_id + 1000000 AS doc_id, text || '{_LC_FRESH}' AS text
+FROM documents WHERE doc_id % {_LC_ADD} = 5
 """
 
 # ----------------------------------------------------------- text analysis
@@ -620,6 +698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fulltext_doclen": q_fulltext_doclen,
         "fulltext_bm25_topk": q_fulltext_bm25_topk,
         "fulltext_bm25_wand": q_fulltext_bm25_wand,
+        "fulltext_lifecycle": q_fulltext_lifecycle,
         "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
@@ -669,6 +748,7 @@ SELECT doc_id, dl FROM doclen
 """,
         "fulltext_bm25_topk": _BM25_SQL,
         "fulltext_bm25_wand": _BM25_SQL,
+        "fulltext_lifecycle": _bm25_sql_over(_LC_CORPUS_SQL, LIFECYCLE_QUERIES),
         "text_token_stats": f"""
 WITH d AS (SELECT doc_id, {_toks('text')} AS toks FROM documents)
 SELECT doc_id, len(toks)::BIGINT AS n_tokens,

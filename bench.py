@@ -69,7 +69,8 @@ PARTITIONS = 4 * CPUS
 SHM = "/dev/shm/meebench"
 
 TIMED_QUERIES = [
-    "fulltext_bm25_topk", "fulltext_bm25_wand", "fulltext_postings",
+    "fulltext_bm25_topk", "fulltext_bm25_wand", "fulltext_lifecycle",
+    "fulltext_postings",
     "fulltext_term_df", "text_quality", "text_langid", "text_fingerprint",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_lsh",
     "ann_bruteforce", "ann_lsh", "ann_ivf",
