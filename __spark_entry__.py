@@ -124,20 +124,13 @@ _LC_FRESH = " fresh page"
 LIFECYCLE_QUERIES = BM25_QUERIES + [(8, "lifecycle marker fresh page", 10)]
 
 
-def q_fulltext_lifecycle(spark, sf_dir):
-    """The INCREMENTAL lifecycle under the value-level oracle: full build
-    of snapshot-1, snapshot-diff incremental build of snapshot-2 (deletes
-    → tombstones, changed text → re-index keeping the docID, added urls →
-    fresh docIDs), then BM25/WAND over the 2-generation chain — so
-    last-writer-wins masking, the per-range tombstone join, and the
-    live-df decode path are all hash-checked against DuckDB computing
-    BM25 directly on the edited corpus. (Compaction equivalence is
-    pytest-gated; this queries the chain WITH tombstones on purpose.)"""
+def _build_lifecycle_index(spark, sf_dir):
+    """Full build of snapshot-1 + snapshot-diff incremental build of
+    snapshot-2 (edit rules above) into a temp index; -> (index_dir, cfg)."""
     import tempfile
 
-    from mee_spark.build import build_full_index, build_incremental, live_docmap
+    from mee_spark.build import build_full_index, build_incremental
     from mee_spark.config import IndexConfig
-    from mee_spark.query_wand import bm25_topk_wand
 
     cfg = IndexConfig(num_doc_partitions=8, num_term_buckets=8,
                       doc_range_size=256, block_size=64)
@@ -158,15 +151,47 @@ def q_fulltext_lifecycle(spark, sf_dir):
     index_dir = tempfile.mkdtemp(prefix="mee_lifecycle_ix_")
     build_full_index(spark, snap1, cfg, index_dir, gen=1, use_html=False)
     build_incremental(spark, snap2, cfg, index_dir, gen=2, use_html=False)
+    return index_dir, cfg
+
+
+def _lifecycle_query(spark, index_dir, cfg, gens):
+    from mee_spark.build import live_docmap
+    from mee_spark.query_wand import bm25_topk_wand
+
     qdf = spark.createDataFrame(LIFECYCLE_QUERIES, QUERIES_SCHEMA)
     res = bm25_topk_wand(spark, index_dir, qdf, cfg, round_digits=6)
-    docmap = live_docmap(spark, index_dir, [1, 2]).select(
+    docmap = live_docmap(spark, index_dir, gens).select(
         F.col("doc_id").alias("_engine_id"),
         F.col("url").cast("long").alias("orig_doc_id"))
     return (
         res.join(F.broadcast(docmap), res["doc_id"] == docmap["_engine_id"])
         .select("query_id", "rank", F.col("orig_doc_id").alias("doc_id"), "score")
     )
+
+
+def q_fulltext_lifecycle(spark, sf_dir):
+    """The INCREMENTAL lifecycle under the value-level oracle: full build
+    of snapshot-1, snapshot-diff incremental build of snapshot-2 (deletes
+    → tombstones, changed text → re-index keeping the docID, added urls →
+    fresh docIDs), then BM25/WAND over the 2-generation chain — so
+    last-writer-wins masking, the per-range tombstone join, and the
+    live-df decode path are all hash-checked against DuckDB computing
+    BM25 directly on the edited corpus. (This queries the chain WITH
+    tombstones on purpose; fulltext_compacted gates the compacted form.)"""
+    index_dir, cfg = _build_lifecycle_index(spark, sf_dir)
+    return _lifecycle_query(spark, index_dir, cfg, [1, 2])
+
+
+def q_fulltext_compacted(spark, sf_dir):
+    """COMPACTION under the value-level oracle: the lifecycle chain is
+    rewritten as one fresh generation (decode live postings across gens,
+    drop tombstones, re-encode) and queried — the same oracle as
+    fulltext_lifecycle, so compaction must be observationally invisible."""
+    from mee_spark.merge import compact
+
+    index_dir, cfg = _build_lifecycle_index(spark, sf_dir)
+    compact(spark, index_dir, cfg, new_gen=3)
+    return _lifecycle_query(spark, index_dir, cfg, [3])
 
 
 def q_fulltext_bm25_topk(spark, sf_dir):
@@ -699,6 +724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fulltext_bm25_topk": q_fulltext_bm25_topk,
         "fulltext_bm25_wand": q_fulltext_bm25_wand,
         "fulltext_lifecycle": q_fulltext_lifecycle,
+        "fulltext_compacted": q_fulltext_compacted,
         "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
@@ -749,6 +775,7 @@ SELECT doc_id, dl FROM doclen
         "fulltext_bm25_topk": _BM25_SQL,
         "fulltext_bm25_wand": _BM25_SQL,
         "fulltext_lifecycle": _bm25_sql_over(_LC_CORPUS_SQL, LIFECYCLE_QUERIES),
+        "fulltext_compacted": _bm25_sql_over(_LC_CORPUS_SQL, LIFECYCLE_QUERIES),
         "text_token_stats": f"""
 WITH d AS (SELECT doc_id, {_toks('text')} AS toks FROM documents)
 SELECT doc_id, len(toks)::BIGINT AS n_tokens,
