@@ -287,6 +287,40 @@ def q_text_fingerprint(spark, sf_dir):
     return fingerprint(_docs(spark, sf_dir))
 
 
+def q_text_bpe_stats(spark, sf_dir):
+    from mee_spark.textops import bpe_token_stats
+
+    return bpe_token_stats(_read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"))
+
+
+def q_text_winnow(spark, sf_dir):
+    from mee_spark.textops import winnow_fingerprints
+
+    return winnow_fingerprints(_read(spark, sf_dir, "documents"), k=8, window=4)
+
+
+def q_pipeline_curate(spark, sf_dir):
+    """The composed training-data curation pipeline: keep docs that are
+    (a) the exact-dedup survivor of their fingerprint group, (b) predicted
+    English, and (c) above the quality threshold — the canonical
+    select-what-to-train-on flow, built purely from the oracled operators
+    upstream (dedup_exact ∘ langid ∘ quality_scores)."""
+    from mee_spark.dedup import dedup_exact
+    from mee_spark.textops import langid, quality_scores
+
+    docs = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text")
+    surv = dedup_exact(docs)
+    q = quality_scores(docs).select("doc_id", "quality_ppm")
+    lang = langid(docs).select("doc_id", "lang_pred")
+    return (
+        surv.join(q, "doc_id").join(lang, "doc_id")
+        .filter((F.col("lang_pred") == "en") & (F.col("quality_ppm") >= 450_000))
+        .select("doc_id", "n_dupes", "quality_ppm", "lang_pred")
+    )
+
+
 def _sql_stoplist(words) -> str:
     return "[" + ", ".join(f"'{w}'" for w in words) + "]"
 
@@ -334,6 +368,49 @@ FROM d)
 SELECT doc_id, {case} AS lang_pred,
   round({best} / greatest(n, 1)::DOUBLE, 6) AS lang_conf
 FROM m
+"""
+
+
+_BPE_SQL = r"""
+WITH d AS (SELECT doc_id::BIGINT AS doc_id,
+                  regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+', 0) AS units
+           FROM documents)
+SELECT doc_id, len(units)::BIGINT AS n_units,
+       coalesce(list_sum(list_transform(units,
+                u -> floor((length(u) + 3) / 4)::BIGINT)), 0)::BIGINT AS n_subwords,
+       round(coalesce(list_sum(list_transform(units, u -> length(u)::DOUBLE)), 0.0)
+             / greatest(len(units), 1), 6) AS mean_unit_len
+FROM d
+"""
+
+_WINNOW_SQL = f"""
+WITH d AS (SELECT doc_id::BIGINT AS doc_id,
+                  array_to_string({_toks('text')}, ' ') AS norm FROM documents),
+h AS (SELECT doc_id,
+             [{_hash15('substr(norm, i, 8)')}
+              for i in range(1, greatest(length(norm) - 8 + 1, 1) + 1)] AS hashes
+      FROM d),
+p AS (SELECT doc_id,
+             list_distinct([list_min(hashes[j:j+3])
+                            for j in range(1, greatest(len(hashes) - 4 + 1, 1) + 1)]) AS picks
+      FROM h)
+SELECT doc_id, unnest(picks) AS fp FROM p
+"""
+
+
+def _curate_sql() -> str:
+    return f"""
+WITH q AS ({_text_quality_sql()}),
+l AS ({_text_langid_sql()}),
+surv AS (
+  SELECT min(doc_id) AS doc_id, count(*)::BIGINT AS n_dupes
+  FROM (SELECT doc_id::BIGINT AS doc_id,
+               {_hash15("array_to_string(" + _toks('text') + ", ' ')")} AS fp
+        FROM documents)
+  GROUP BY fp)
+SELECT surv.doc_id, surv.n_dupes, q.quality_ppm, l.lang_pred
+FROM surv JOIN q ON q.doc_id = surv.doc_id JOIN l ON l.doc_id = surv.doc_id
+WHERE l.lang_pred = 'en' AND q.quality_ppm >= 450000
 """
 
 
@@ -729,6 +806,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
+        "text_bpe_stats": q_text_bpe_stats,
+        "text_winnow": q_text_winnow,
+        "pipeline_curate": q_pipeline_curate,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -790,6 +870,9 @@ FROM d
 WITH d AS (SELECT doc_id, array_to_string({_toks('text')}, ' ') AS norm FROM documents)
 SELECT doc_id, md5(norm) AS fp, {_hash15('norm')} AS fp_hash FROM d
 """,
+        "text_bpe_stats": _BPE_SQL,
+        "text_winnow": _WINNOW_SQL,
+        "pipeline_curate": _curate_sql(),
         "dedup_exact": f"""
 WITH d AS (SELECT doc_id::BIGINT AS doc_id,
                   {_hash15("array_to_string(" + _toks('text') + ", ' ')")} AS fp

@@ -74,6 +74,7 @@ TIMED_QUERIES = [
     # the scaling metric, and its ~2 min would crowd out scaling samples
     "fulltext_bm25_topk", "fulltext_bm25_wand", "fulltext_postings",
     "fulltext_term_df", "text_quality", "text_langid", "text_fingerprint",
+    "text_bpe_stats", "text_winnow", "pipeline_curate",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_lsh",
     "ann_bruteforce", "ann_lsh", "ann_ivf",
     "rel_lookup_join", "rel_multihop_join", "rel_nested_collect",

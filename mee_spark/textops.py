@@ -102,6 +102,76 @@ def langid(docs: DataFrame) -> DataFrame:
     return d.select("doc_id", pred.alias("lang_pred"), conf.alias("lang_conf"))
 
 
+# BPE-ish unit pattern: letter runs, digit runs, punctuation runs — the
+# pre-tokenization regex family GPT-2-style BPE uses, reduced to ASCII
+# classes where Java regex (Spark) and RE2 (DuckDB) agree byte-for-byte
+# (ASCII \s is the same set in both). Passed as a literal Column via
+# F.regexp_extract_all — never through a SQL string literal, whose escape
+# handling would silently corrupt the backslash.
+BPE_UNIT_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"
+BPE_CHUNK = 4  # crude merge budget: one sub-word token per <=4 chars
+
+
+def bpe_token_stats(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_units, n_subwords, mean_unit_len) — sub-word token
+    counting: regex pre-tokenize into letter/digit/punct runs, then charge
+    ceil(len/4) sub-word tokens per run (a deterministic stand-in for a
+    BPE merge table — the COUNTING machinery, not a learned vocab). All
+    integer arithmetic, engine-portable."""
+    units = F.regexp_extract_all(F.col("text"), F.lit(BPE_UNIT_PATTERN), F.lit(0))
+    n_units = F.size(units).cast("long")
+    n_sub = F.aggregate(
+        units, F.lit(0).cast("long"),
+        lambda acc, u: acc + F.floor((F.length(u) + 3) / BPE_CHUNK).cast("long"))
+    mean_len = F.round(
+        F.aggregate(units, F.lit(0.0), lambda acc, u: acc + F.length(u))
+        / F.greatest(n_units, F.lit(1)), 6)
+    return docs.select(
+        "doc_id", n_units.alias("n_units"), n_sub.alias("n_subwords"),
+        mean_len.alias("mean_unit_len"))
+
+
+def winnow_fingerprints(docs: DataFrame, k: int = 8, window: int = 4) -> DataFrame:
+    """(doc_id, fp) — winnowing document fingerprints (Schleimer et al.,
+    SIGMOD 2003): rolling char k-gram hashes over the normalized token
+    stream; each window of ``window`` consecutive hashes contributes its
+    MINIMUM; distinct selected hashes are the doc's fingerprints.
+
+    Guarantees: any shared substring of length >= k+window-1 between two
+    docs yields a shared fingerprint (the winnowing theorem), at ~2/(w+1)
+    the density of full k-gram hashing — the standard plagiarism/near-dup
+    sketch.
+
+    Plan shape matters here: a nested array expression (transform over
+    windows of a transform over grams) re-evaluates the WHOLE gram-hash
+    array per window — Catalyst does no common-subexpression elimination
+    across lambda invocations, turning n hashes into n² (measured: minutes
+    instead of seconds at 5k docs). Instead: explode gram positions, hash
+    each ONCE per row, take the windowed min with a frame over positions
+    within the doc — linear work, map-side, one shuffle for the window."""
+    from pyspark.sql import Window
+
+    norm = F.array_join(tokenize_col(F.col("text")), " ")
+    d = docs.select(F.col("doc_id").cast("long").alias("doc_id"), norm.alias("norm"))
+    n_grams = F.greatest(F.length("norm") - k + 1, F.lit(1))
+    g = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), n_grams)).alias("i"),
+        F.col("norm"),
+        n_grams.alias("n_h"),
+    ).select("doc_id", "i", "n_h",
+             hash15(F.col("norm").substr(F.col("i"), F.lit(k))).alias("h"))
+    w = (Window.partitionBy("doc_id").orderBy("i")
+         .rowsBetween(Window.currentRow, window - 1))
+    picks = (
+        g.withColumn("pick", F.min("h").over(w))
+        # window start positions: 1..max(n_h - window + 1, 1); the frame
+        # self-clamps at the tail exactly like a clamped array slice
+        .filter(F.col("i") <= F.greatest(F.col("n_h") - (window - 1), F.lit(1)))
+    )
+    return picks.select("doc_id", F.col("pick").alias("fp")).distinct()
+
+
 def fingerprint(docs: DataFrame) -> DataFrame:
     """(doc_id, fp, fp_hash) — canonical document fingerprint: md5 over
     the normalized token stream (whitespace/punct/case-insensitive), plus
