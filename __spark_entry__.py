@@ -300,6 +300,13 @@ def q_text_winnow(spark, sf_dir):
     return winnow_fingerprints(_read(spark, sf_dir, "documents"), k=8, window=4)
 
 
+def q_dedup_winnow(spark, sf_dir):
+    from mee_spark.textops import winnow_dup_pairs
+
+    return winnow_dup_pairs(_read(spark, sf_dir, "documents"),
+                            k=8, window=4, min_shared=2)
+
+
 def q_pipeline_curate(spark, sf_dir):
     """The composed training-data curation pipeline: keep docs that are
     (a) the exact-dedup survivor of their fingerprint group, (b) predicted
@@ -395,6 +402,15 @@ p AS (SELECT doc_id,
                             for j in range(1, greatest(len(hashes) - 4 + 1, 1) + 1)]) AS picks
       FROM h)
 SELECT doc_id, unnest(picks) AS fp FROM p
+"""
+
+
+_WINNOW_PAIRS_SQL = f"""
+WITH w AS ({_WINNOW_SQL})
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*)::BIGINT AS n_shared
+FROM w a JOIN w b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= 2
 """
 
 
@@ -808,6 +824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "text_bpe_stats": q_text_bpe_stats,
         "text_winnow": q_text_winnow,
+        "dedup_winnow": q_dedup_winnow,
         "pipeline_curate": q_pipeline_curate,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -872,6 +889,7 @@ SELECT doc_id, md5(norm) AS fp, {_hash15('norm')} AS fp_hash FROM d
 """,
         "text_bpe_stats": _BPE_SQL,
         "text_winnow": _WINNOW_SQL,
+        "dedup_winnow": _WINNOW_PAIRS_SQL,
         "pipeline_curate": _curate_sql(),
         "dedup_exact": f"""
 WITH d AS (SELECT doc_id::BIGINT AS doc_id,

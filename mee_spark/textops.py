@@ -172,6 +172,27 @@ def winnow_fingerprints(docs: DataFrame, k: int = 8, window: int = 4) -> DataFra
     return picks.select("doc_id", F.col("pick").alias("fp")).distinct()
 
 
+def winnow_dup_pairs(docs: DataFrame, k: int = 8, window: int = 4,
+                     min_shared: int = 2) -> DataFrame:
+    """(doc_id_a, doc_id_b, n_shared) — near-dup pairs by SHARED winnowing
+    fingerprints (the plagiarism-detection classic): docs only meet
+    through a fingerprint equi-join (the blocking key is a uniform hash —
+    skew-free shuffle), so all-pairs never materializes; ``min_shared``
+    filters incidental single-gram collisions. Completes the dedup family
+    next to minhash-LSH (token-set similarity) with positional-substring
+    similarity."""
+    fps = winnow_fingerprints(docs, k, window)
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_id_a"),
+                 F.col("b.doc_id").alias("doc_id_b"))
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def fingerprint(docs: DataFrame) -> DataFrame:
     """(doc_id, fp, fp_hash) — canonical document fingerprint: md5 over
     the normalized token stream (whitespace/punct/case-insensitive), plus
