@@ -304,7 +304,7 @@ def q_dedup_winnow(spark, sf_dir):
     from mee_spark.textops import winnow_dup_pairs
 
     return winnow_dup_pairs(_read(spark, sf_dir, "documents"),
-                            k=8, window=4, min_shared=2)
+                            k=16, window=4, min_shared=5)
 
 
 def q_pipeline_curate(spark, sf_dir):
@@ -390,27 +390,34 @@ SELECT doc_id, len(units)::BIGINT AS n_units,
 FROM d
 """
 
-_WINNOW_SQL = f"""
+def _winnow_sql(k: int = 8, window: int = 4) -> str:
+    return f"""
 WITH d AS (SELECT doc_id::BIGINT AS doc_id,
                   array_to_string({_toks('text')}, ' ') AS norm FROM documents),
 h AS (SELECT doc_id,
-             [{_hash15('substr(norm, i, 8)')}
-              for i in range(1, greatest(length(norm) - 8 + 1, 1) + 1)] AS hashes
+             [{_hash15(f'substr(norm, i, {k})')}
+              for i in range(1, greatest(length(norm) - {k} + 1, 1) + 1)] AS hashes
       FROM d),
 p AS (SELECT doc_id,
-             list_distinct([list_min(hashes[j:j+3])
-                            for j in range(1, greatest(len(hashes) - 4 + 1, 1) + 1)]) AS picks
+             list_distinct([list_min(hashes[j:j+{window - 1}])
+                            for j in range(1, greatest(len(hashes) - {window} + 1, 1) + 1)]) AS picks
       FROM h)
 SELECT doc_id, unnest(picks) AS fp FROM p
 """
 
 
+_WINNOW_SQL = _winnow_sql(8, 4)
+
+
+# pairs instance: k=16 (~two consecutive shared tokens on this corpus —
+# 8-char grams match single Zipfian tokens and degenerate toward
+# all-pairs), window 4, >=5 shared fingerprints
 _WINNOW_PAIRS_SQL = f"""
-WITH w AS ({_WINNOW_SQL})
+WITH w AS ({_winnow_sql(16, 4)})
 SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*)::BIGINT AS n_shared
 FROM w a JOIN w b ON a.fp = b.fp AND a.doc_id < b.doc_id
 GROUP BY 1, 2
-HAVING count(*) >= 2
+HAVING count(*) >= 5
 """
 
 
