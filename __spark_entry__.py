@@ -464,6 +464,17 @@ def q_dedup_simhash(spark, sf_dir):
     return simhash(_read(spark, sf_dir, "documents"))
 
 
+def q_dedup_simhash_pairs(spark, sf_dir):
+    """Near-dup pairs by simhash hamming distance — the engine runs the
+    PIGEONHOLE-BANDED variant (any pair within distance H agrees on >=1
+    of H+1 bit-chunks, so candidates come from chunk equi-joins — lossless
+    and never all-pairs); the oracle computes the same set the quadratic
+    way, which is what makes the banding's losslessness driver-checked."""
+    from mee_spark.dedup import simhash_pairs_banded
+
+    return simhash_pairs_banded(_read(spark, sf_dir, "documents"), max_hamming=7)
+
+
 def q_dedup_embedding(spark, sf_dir):
     """Exact all-pairs cosine dedup — the small-scale verify kernel and
     the oracle for the LSH-blocked scale path below (same kernel/scale
@@ -563,6 +574,16 @@ bits AS (
 SELECT doc_id,
        sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS simhash
 FROM bits GROUP BY 1
+"""
+
+# the quadratic ground truth: the engine answers with pigeonhole banding,
+# so rows+hash equality here IS the losslessness proof, driver-gated
+_SIMHASH_PAIRS_SQL = f"""
+WITH s AS ({_SIMHASH_SQL})
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 7
 """
 
 _COS = (
@@ -837,6 +858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_embedding": q_dedup_embedding,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "ann_bruteforce": q_ann_bruteforce,
@@ -907,6 +929,7 @@ SELECT min(doc_id) AS doc_id, count(*)::BIGINT AS n_dupes FROM d GROUP BY fp
         "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
         "dedup_minhash_lsh": _MINHASH_LSH_SQL,
         "dedup_simhash": _SIMHASH_SQL,
+        "dedup_simhash_pairs": _SIMHASH_PAIRS_SQL,
         "dedup_embedding": _EMB_DUP_SQL,
         "dedup_embedding_lsh": _emb_lsh_dup_sql(),
         "ann_bruteforce": _ANN_BRUTE_SQL,
