@@ -3,7 +3,12 @@
 ``entry`` runs the flagship BM25 pipeline at sf0.001; ``queries`` maps
 every implemented operator (SURVEY.md §2 + the training-data pipeline
 ops) to a (spark, sf_dir) callable; ``oracle_sql`` gives the DuckDB-
-equivalent ANSI SQL for each. Column names/types are aligned pairwise —
+equivalent ANSI SQL for each — EVERY registered query has a value-level
+oracle (39/39), including the end-to-end index lifecycles:
+``fulltext_lifecycle`` (full build → snapshot-diff incremental →
+tombstoned multi-gen WAND) and ``fulltext_compacted`` (the same after
+chain compaction) are hash-checked against DuckDB computing BM25
+directly on the edited corpus. Column names/types are aligned pairwise —
 the driver compares row-count + schema + order-insensitive value hash.
 """
 
@@ -206,6 +211,19 @@ def q_fulltext_bm25_topk(spark, sf_dir):
     )
 
 
+def q_fulltext_bm25_conjunctive(spark, sf_dir):
+    """AND semantics: only docs containing every query term rank."""
+    from mee_spark.postings import build_postings
+    from mee_spark.query import bm25_topk_conjunctive
+
+    docs = _docs(spark, sf_dir)
+    stats = docs.agg(F.count("*").alias("n"), F.avg("dl").alias("a")).collect()[0]
+    return bm25_topk_conjunctive(
+        build_postings(docs), _queries_df(spark),
+        int(stats["n"]), float(stats["a"]), k=None, round_digits=6,
+    )
+
+
 _FULLTEXT_CTE = f"""
 docs AS (SELECT doc_id, {_toks('text')} AS toks FROM documents),
 tok AS (SELECT doc_id, unnest(toks) AS term FROM docs),
@@ -216,10 +234,14 @@ postings AS (
 """
 
 
-def _bm25_sql_over(corpus_sql: str, queries) -> str:
+def _bm25_sql_over(corpus_sql: str, queries, conjunctive: bool = False) -> str:
     """Textbook BM25 top-k SQL over an arbitrary (doc_id, text) corpus
-    expression — shared by the static corpus and the lifecycle oracle."""
+    expression — shared by the static corpus, the lifecycle oracles, and
+    (with ``conjunctive``) the AND-semantics variant, where only docs
+    matching EVERY query term rank."""
     vals = ", ".join(f"({q}, '{t}', {k})" for q, t, k in queries)
+    conj_filter = ("JOIN qn USING (query_id) WHERE matched = n_terms"
+                   if conjunctive else "")
     return f"""
 WITH corpus AS ({corpus_sql}),
 docs AS (SELECT doc_id, {_toks('text')} AS toks FROM corpus),
@@ -230,6 +252,7 @@ postings AS (
   FROM tok t JOIN doclen l USING (doc_id) GROUP BY 1, 2),
 qs(query_id, query_text, k) AS (VALUES {vals}),
 qterms AS (SELECT DISTINCT query_id, k, unnest({_toks('query_text')}) AS term FROM qs),
+qn AS (SELECT query_id, count(*)::BIGINT AS n_terms FROM qterms GROUP BY 1),
 dfreq AS (SELECT term, count(*)::BIGINT AS df FROM postings
           WHERE term IN (SELECT term FROM qterms) GROUP BY 1),
 stats AS (SELECT count(*)::BIGINT AS n, avg(dl) AS avgdl FROM doclen),
@@ -238,11 +261,12 @@ contrib AS (
          ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
          * (p.tf * (1.2 + 1.0)) / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * p.dl / s.avgdl)) AS c
   FROM postings p JOIN qterms q USING (term) JOIN dfreq d USING (term) CROSS JOIN stats s),
-scored AS (SELECT query_id, k, doc_id, sum(c) AS score FROM contrib GROUP BY 1, 2, 3),
+scored AS (SELECT query_id, k, doc_id, sum(c) AS score, count(*)::BIGINT AS matched
+           FROM contrib GROUP BY 1, 2, 3),
 ranked AS (SELECT query_id::INT AS query_id, doc_id, round(score, 6) AS score, k,
                   row_number() OVER (PARTITION BY query_id
                                      ORDER BY round(score, 6) DESC, doc_id) AS rank
-           FROM scored)
+           FROM scored {conj_filter})
 SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= k
 """
 
@@ -843,6 +867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fulltext_term_df": q_fulltext_term_df,
         "fulltext_doclen": q_fulltext_doclen,
         "fulltext_bm25_topk": q_fulltext_bm25_topk,
+        "fulltext_bm25_conjunctive": q_fulltext_bm25_conjunctive,
         "fulltext_bm25_wand": q_fulltext_bm25_wand,
         "fulltext_lifecycle": q_fulltext_lifecycle,
         "fulltext_compacted": q_fulltext_compacted,
@@ -899,6 +924,8 @@ WITH {_FULLTEXT_CTE}
 SELECT doc_id, dl FROM doclen
 """,
         "fulltext_bm25_topk": _BM25_SQL,
+        "fulltext_bm25_conjunctive": _bm25_sql_over(
+            "SELECT doc_id, text FROM documents", BM25_QUERIES, conjunctive=True),
         "fulltext_bm25_wand": _BM25_SQL,
         "fulltext_lifecycle": _bm25_sql_over(_LC_CORPUS_SQL, LIFECYCLE_QUERIES),
         "fulltext_compacted": _bm25_sql_over(_LC_CORPUS_SQL, LIFECYCLE_QUERIES),

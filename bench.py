@@ -203,7 +203,7 @@ def main() -> None:
     # results — only the hard wall-budget safety rail can cut it short,
     # and every dropped run is logged and counted.
     bench_t0 = time.monotonic()
-    budget = float(os.environ.get("MEE_BENCH_BUDGET_SEC", "750"))
+    budget = float(os.environ.get("MEE_BENCH_BUDGET_SEC", "900"))
     runs: dict[int, list[dict]] = {SCALING_N: [], SCALING_4N: []}
     dropped = 0
     queried_once = False

@@ -40,6 +40,66 @@ def explode_query_terms(queries: DataFrame) -> DataFrame:
     )
 
 
+def bm25_topk_conjunctive(
+    postings: DataFrame,
+    queries: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    k: int | None = 10,
+    k1: float = K1,
+    b: float = B,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """AND-semantics BM25 top-k: only docs containing EVERY query term
+    rank (posting-list intersection as a user query — mee's ES reads are
+    conjunctive by default). Same scoring as the exhaustive path; the
+    intersection is the matched-term count filter, so a query with an
+    out-of-vocabulary term matches nothing by construction.
+
+    Scale shape: identical to the exhaustive plan (postings never move;
+    the per-(query, doc) aggregate carries one extra count) — the filter
+    discards rows post-aggregation, no new shuffle."""
+    qterms = explode_query_terms(queries)
+    n_terms = qterms.groupBy("query_id").agg(F.count("*").alias("_n_terms"))
+    matched = postings.join(F.broadcast(qterms.select("term").distinct()), "term")
+    dfreq = matched.groupBy("term").agg(F.count("*").alias("df"))
+    contrib = (
+        matched
+        .join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(qterms), "term")
+        .withColumn(
+            "_contrib",
+            idf_col(F.col("df").cast("double"), n_docs)
+            * tnorm_col(F.col("tf").cast("double"), F.col("dl").cast("double"), avgdl, k1, b),
+        )
+    )
+    group_cols = ["query_id", "doc_id"] + (["k"] if k is None else [])
+    scored = (
+        contrib.groupBy(*group_cols)
+        # postings are unique per (term, doc) and qterms are distinct, so
+        # count(*) IS the matched-term count
+        .agg(F.sum("_contrib").alias("score"), F.count("*").alias("_matched"))
+        .join(F.broadcast(n_terms), "query_id")
+        .filter(F.col("_matched") == F.col("_n_terms"))
+    )
+    score_key = (
+        F.round(F.col("score"), round_digits) if round_digits is not None else F.col("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(score_key.desc(), F.col("doc_id").asc())
+    ranked = scored.withColumn("rank", F.row_number().over(w).cast("long"))
+    limit = F.col("k") if k is None else F.lit(k)
+    out_score = score_key.alias("score") if round_digits is not None else F.col("score")
+    return (
+        ranked.filter(F.col("rank") <= limit)
+        .select(
+            F.col("query_id").cast("int").alias("query_id"),
+            "rank",
+            F.col("doc_id").cast("long").alias("doc_id"),
+            out_score,
+        )
+    )
+
+
 def bm25_topk_exhaustive(
     postings: DataFrame,
     queries: DataFrame,
