@@ -199,6 +199,33 @@ def q_fulltext_compacted(spark, sf_dir):
     return _lifecycle_query(spark, index_dir, cfg, [3])
 
 
+def q_fulltext_wand_conjunctive(spark, sf_dir):
+    """AND semantics on the PRODUCTION (segment/WAND) path: build real
+    segments, rank only docs containing every query term — the posting
+    intersection evaluated per docID range inside the Arrow scorer."""
+    import tempfile
+
+    from mee_spark.build import build_full_index, live_docmap
+    from mee_spark.config import IndexConfig
+    from mee_spark.query_wand import bm25_topk_wand
+
+    cfg = IndexConfig(num_doc_partitions=8, num_term_buckets=8,
+                      doc_range_size=256, block_size=64)
+    pages_like = _read(spark, sf_dir, "documents").select(
+        F.format_string("%012d", F.col("doc_id")).alias("url"), "text")
+    index_dir = tempfile.mkdtemp(prefix="mee_wandc_ix_")
+    build_full_index(spark, pages_like, cfg, index_dir, gen=1, use_html=False)
+    res = bm25_topk_wand(spark, index_dir, _queries_df(spark), cfg,
+                         round_digits=6, conjunctive=True)
+    docmap = live_docmap(spark, index_dir, [1]).select(
+        F.col("doc_id").alias("_engine_id"),
+        F.col("url").cast("long").alias("orig_doc_id"))
+    return (
+        res.join(F.broadcast(docmap), res["doc_id"] == docmap["_engine_id"])
+        .select("query_id", "rank", F.col("orig_doc_id").alias("doc_id"), "score")
+    )
+
+
 def q_fulltext_bm25_topk(spark, sf_dir):
     from mee_spark.postings import build_postings
     from mee_spark.query import bm25_topk_exhaustive
@@ -869,6 +896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fulltext_bm25_topk": q_fulltext_bm25_topk,
         "fulltext_bm25_conjunctive": q_fulltext_bm25_conjunctive,
         "fulltext_bm25_wand": q_fulltext_bm25_wand,
+        "fulltext_wand_conjunctive": q_fulltext_wand_conjunctive,
         "fulltext_lifecycle": q_fulltext_lifecycle,
         "fulltext_compacted": q_fulltext_compacted,
         "text_token_stats": q_text_token_stats,
@@ -927,6 +955,8 @@ SELECT doc_id, dl FROM doclen
         "fulltext_bm25_conjunctive": _bm25_sql_over(
             "SELECT doc_id, text FROM documents", BM25_QUERIES, conjunctive=True),
         "fulltext_bm25_wand": _BM25_SQL,
+        "fulltext_wand_conjunctive": _bm25_sql_over(
+            "SELECT doc_id, text FROM documents", BM25_QUERIES, conjunctive=True),
         "fulltext_lifecycle": _bm25_sql_over(_LC_CORPUS_SQL, LIFECYCLE_QUERIES),
         "fulltext_compacted": _bm25_sql_over(_LC_CORPUS_SQL, LIFECYCLE_QUERIES),
         "text_token_stats": f"""

@@ -48,7 +48,12 @@ from mee_spark.codec import decode_postings
 from mee_spark.config import IndexConfig
 from mee_spark.query import explode_query_terms
 from mee_spark.segments import read_segments
-from mee_spark.wand import TermCursor, exhaustive_topk_vec, wand_topk
+from mee_spark.wand import (
+    TermCursor,
+    conjunctive_topk_vec,
+    exhaustive_topk_vec,
+    wand_topk,
+)
 
 _LOCAL_SCHEMA = "query_id int, k int, doc_id long, score double"
 
@@ -103,7 +108,8 @@ def _dead_ids(row, gen: int) -> np.ndarray | None:
 def _make_scorer(df_map: dict, n_docs: int, avgdl: float,
                  k1: float, b: float, use_block_max: bool,
                  wand_min_postings: int = 1 << 16,
-                 round_to: int | None = None):
+                 round_to: int | None = None,
+                 n_terms_map: dict | None = None):
     """Scorer for one docID range, ALL queries at once.
 
     Grouping by range (not (query, range)) turns q·ranges tiny Arrow
@@ -152,8 +158,13 @@ def _make_scorer(df_map: dict, n_docs: int, avgdl: float,
             # wand.exhaustive_topk_vec docstring). Local selection uses the
             # SAME rounded key as the global window rank — a doc dropped by
             # an unrounded local heap could round-tie a kept doc and win
-            # the doc_id tie-break globally.
-            if sum(c.n for c in cursors) < wand_min_postings:
+            # the doc_id tie-break globally. Conjunctive (AND) mode keeps
+            # only docs matched by every query term (see
+            # wand.conjunctive_topk_vec).
+            if n_terms_map is not None:
+                top = conjunctive_topk_vec(cursors, k,
+                                           n_terms_map[int(qid)], round_to)
+            elif sum(c.n for c in cursors) < wand_min_postings:
                 top = exhaustive_topk_vec(cursors, k, round_to=round_to)
             else:
                 top = wand_topk(cursors, k, use_block_max=use_block_max,
@@ -180,10 +191,14 @@ def bm25_topk_wand(
     gen: int | None = None,
     round_digits: int | None = 6,
     use_block_max: bool = True,
+    conjunctive: bool = False,
 ) -> DataFrame:
     """-> (query_id, rank, doc_id, score): per-query top-k over the
     published index (or ``gen``'s chain). ``queries`` needs
-    (query_id, query_text, k)."""
+    (query_id, query_text, k). ``conjunctive``: AND semantics — only docs
+    containing every query term rank (docID-range partitioning co-locates
+    a doc's postings, so the intersection is evaluated per range with no
+    extra movement)."""
     chain = mf.manifest_chain(index_dir, gen)
     if not chain:
         raise ValueError(f"no published index at {index_dir}")
@@ -236,9 +251,14 @@ def bm25_topk_wand(
             segs.join(F.broadcast(qterms), "term")
             .withColumn("_qshard", F.pmod(F.col("query_id"), F.lit(n_qshards)))
         )
+        n_terms_map = None
+        if conjunctive:
+            n_terms_map = {int(r["query_id"]): int(r["n"]) for r in
+                           qterms.groupBy("query_id").agg(
+                               F.count("*").alias("n")).collect()}
         scorer = _make_scorer(df_map, n_docs, avgdl, cfg.k1, cfg.b,
                               use_block_max, cfg.wand_min_postings,
-                              round_to=round_digits)
+                              round_to=round_digits, n_terms_map=n_terms_map)
         local = joined.groupBy("range_id", "_qshard").applyInPandas(scorer, _LOCAL_SCHEMA)
         # materialize the per-range candidates (≤ k·ranges·qshards rows,
         # distributed) so the cached pruned scan can be released NOW —

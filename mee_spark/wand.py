@@ -217,6 +217,42 @@ def exhaustive_topk_vec(cursors: list[TermCursor], k: int,
     return [(int(uniq[i]), float(sums[i])) for i in top]
 
 
+def conjunctive_topk_vec(cursors: list[TermCursor], k: int, n_terms: int,
+                         round_to: int | None = None) -> list[tuple[int, float]]:
+    """AND-semantics top-k over decoded cursors: only docs contributing
+    from ALL ``n_terms`` query terms rank. Because docID-range
+    partitioning co-locates every posting of a doc in one range, and each
+    doc appears at most once per term after tombstone masking (changed
+    docs' old-gen postings are dead), the per-doc contribution COUNT from
+    the stable-sorted accumulation IS the matched-term count — the
+    intersection falls out of the same vectorized pass the union scoring
+    uses. (A galloping/WAND-AND skipper is the known upgrade for huge
+    ranges; selectivity of the intersection keeps this pass cheap.)"""
+    cursors = sorted([c for c in cursors if c.n > 0], key=lambda c: c.term)
+    if not cursors or k <= 0:
+        return []
+    # terms present in this range (a cursor per (term, gen)): if any query
+    # term is absent here, no doc in this range can match them all
+    present = {c.term.split("\x00")[0] for c in cursors}
+    if len(present) < n_terms:
+        return []
+    all_docs = np.concatenate([c.docs for c in cursors])
+    all_scores = np.concatenate([c.scores for c in cursors])
+    order = np.argsort(all_docs, kind="stable")
+    d = all_docs[order]
+    s = all_scores[order]
+    starts = np.flatnonzero(np.concatenate(([True], d[1:] != d[:-1])))
+    counts = np.diff(np.concatenate((starts, [len(d)])))
+    sums = np.add.reduceat(s, starts)
+    uniq = d[starts]
+    keep = counts == n_terms
+    uniq, sums = uniq[keep], sums[keep]
+    if round_to is not None:
+        sums = np.round(sums, round_to)
+    top = np.lexsort((uniq, -sums))[:k]
+    return [(int(uniq[i]), float(sums[i])) for i in top]
+
+
 def exhaustive_topk_np(cursors: list[TermCursor], k: int) -> list[tuple[int, float]]:
     """Brute-force union scoring over the same cursors (safety reference)."""
     cursors = sorted([c for c in cursors if c.n > 0], key=lambda c: c.term)
