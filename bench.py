@@ -72,7 +72,8 @@ TIMED_QUERIES = [
     # fulltext_lifecycle is deliberately NOT timed: it runs two complete
     # index lifecycles (correctness showcase); build throughput is already
     # the scaling metric, and its ~2 min would crowd out scaling samples
-    "fulltext_bm25_topk", "fulltext_bm25_wand", "fulltext_postings",
+    "fulltext_bm25_topk", "fulltext_bm25_conjunctive", "fulltext_bm25_wand",
+    "fulltext_postings",
     "fulltext_term_df", "text_quality", "text_langid", "text_fingerprint",
     "text_bpe_stats", "text_winnow", "pipeline_curate",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_lsh",
