@@ -100,11 +100,15 @@ def make_session(cores: int):
         # maxPartitionBytes/openCost pack them into ~4 splits, which
         # starves the 4N level's cores in every pre-shuffle stage while
         # the N level runs at full parallelism — i.e. it silently deflates
-        # the efficiency RATIO, not just speed (measured: local[8] 28.3s
-        # -> 20.1s at 150k docs from this alone). Core-count-independent,
-        # so both levels see identical plans.
-        .config("spark.sql.files.maxPartitionBytes", "8m")
-        .config("spark.sql.files.openCostInBytes", "262144")
+        # the efficiency RATIO, not just speed. Measured at 150k docs on
+        # local[8]: default ~4 splits -> 28-38s; 8m/256k (22 splits) ->
+        # 20.1s; 4m/128k (50 splits) -> 15.2s even at loadavg ~5, because
+        # >6 waves amortize stragglers and wave quantization (a 9-task
+        # stage over 8 cores pays a 2x tail). Core-count-independent, so
+        # both levels see identical plans; local[2] measured 45.4s under
+        # the same config (also its best).
+        .config("spark.sql.files.maxPartitionBytes", "4m")
+        .config("spark.sql.files.openCostInBytes", "131072")
         .getOrCreate()
     )
 
