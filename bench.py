@@ -117,6 +117,24 @@ def loadavg() -> float:
     return float(open("/proc/loadavg").read().split()[0])
 
 
+def wait_for_quiet(threshold: float, max_wait_sec: float) -> float:
+    """Delay a run's START (never its inclusion) until neighbor load dips
+    below ``threshold``, bounded by ``max_wait_sec``. Shifting start times
+    toward quiet moments is honest — every planned run still executes and
+    every result is reported; this only avoids knowingly measuring through
+    interference. Returns the load observed when proceeding."""
+    waited = 0.0
+    load = loadavg()
+    while load > threshold and waited < max_wait_sec:
+        time.sleep(5)
+        waited += 5
+        load = loadavg()
+    if waited:
+        print(f"[bench] waited {waited:.0f}s for quiet (load now {load})",
+              file=sys.stderr, flush=True)
+    return load
+
+
 # ---------------------------------------------------------------- level mode
 
 def run_level(cores: int, corpus: str, n_docs: int, with_queries: bool) -> None:
@@ -221,8 +239,11 @@ def main() -> None:
             break
         with_q = cores == SCALING_4N and not queried_once
         queried_once = queried_once or with_q
+        load_now = wait_for_quiet(
+            threshold=float(os.environ.get("MEE_BENCH_QUIET_LOAD", "3.0")),
+            max_wait_sec=float(os.environ.get("MEE_BENCH_QUIET_WAIT", "45")))
         print(f"[bench] scaling run {i + 1}/{len(PLAN)}: local[{cores}]"
-              f"{' +querybatch' if with_q else ''} (load {loadavg()})",
+              f"{' +querybatch' if with_q else ''} (load {load_now})",
               file=sys.stderr, flush=True)
         runs[cores].append(spawn_level(cores, corpus, with_q))
         print(f"[bench] run {i + 1} done: {runs[cores][-1]}",
