@@ -170,6 +170,14 @@ def build_incremental(
     if parent is None:
         raise ValueError("no published index; run build_full_index first")
     chain = mf.manifest_chain(index_dir, parent)
+    # last-writer-wins masks compare GENERATION NUMBERS (a tombstone at
+    # gen t kills postings of gens < t); a new gen numbered at or below
+    # the chain's max would silently corrupt liveness
+    max_gen = max(m["generation"] for m in chain)
+    if gen <= max_gen:
+        raise ValueError(
+            f"generation {gen} must exceed the chain's max ({max_gen}); "
+            "last-writer-wins is ordered by generation number")
     prev = live_docmap(spark, index_dir, [m["generation"] for m in chain])
 
     hashed = _with_text_hash(new_snapshot, use_html).select(

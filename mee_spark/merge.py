@@ -72,6 +72,10 @@ def compact(spark: SparkSession, index_dir: str, cfg: IndexConfig,
     if not chain:
         raise ValueError("nothing to compact")
     gens = [m["generation"] for m in chain]
+    if new_gen <= max(gens):
+        raise ValueError(
+            f"compaction target {new_gen} must exceed the chain's max "
+            f"({max(gens)}); generation numbers order last-writer-wins")
     postings = decoded_postings(spark, index_dir, gens, cfg.doc_range_size)
     os.makedirs(mf.gen_dir(index_dir, new_gen), exist_ok=True)
     # consolidated docmap = live rows only
