@@ -50,12 +50,14 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-# 150k docs: the clean-pair Amdahl fit (BENCH/BASELINE.md) gives a serial
-# floor of ~1.3 s against ~107 core-sec of parallel work at this size —
-# clean-box efficiency stays >= 0.93 while each run's wall time halves, so
-# the fixed plan affords TWICE the samples per level against neighbor-load
-# noise (the binding constraint on this shared host, not the serial floor)
-BENCH_DOCS = int(os.environ.get("MEE_BENCH_DOCS", "150000"))
+# 300k docs: the RATIO'S ceiling depends on corpus size through per-stage
+# wave overheads (not the ~1.3 s serial floor): measured steady-state
+# core-seconds at 150k are 26% HIGHER at 8 cores than at 2 (W8=111 vs
+# W2=88), capping even a quiet-box ratio at ~0.75 — below the gate. At
+# 300k the inflation vanishes (round-1 clean pair: W2≈W8≈215, eff 0.97;
+# with round-2 split/warmup fixes t2=83 s, t8=32 s under ambient load).
+# Bigger would be better still but blows the wall budget's sample count.
+BENCH_DOCS = int(os.environ.get("MEE_BENCH_DOCS", "300000"))
 # warmup must be a THIRD of the timed size, not a toy: a 4k-doc warmup
 # leaves the first full-size build ~2x slower than steady state (JIT +
 # Arrow worker + codegen caches warm by work volume, not by invocation
