@@ -117,15 +117,22 @@ def build_full_index(
 
     dm_thread = threading.Thread(target=_write_docmap, daemon=True)
     dm_thread.start()
-    postings = build_postings(docs)
-    part_metrics = build_segments(postings, cfg, index_dir, gen, resume=resume)
-    dm_thread.join()
+    try:
+        postings = build_postings(docs)
+        part_metrics = build_segments(postings, cfg, index_dir, gen, resume=resume)
+    finally:
+        # join even on error: a same-gen retry (resume=True flow) must
+        # never start while a stale daemon write of the SAME docmap path
+        # is still in flight — interleaved writes corrupt the parquet
+        dm_thread.join()
     if _docmap_err:
         raise _docmap_err[0]
     import shutil
 
     shutil.rmtree(staging, ignore_errors=True)
     wall = time.monotonic() - t0
+    from mee_spark.config import layout_record
+
     m = mf.write_manifest(
         index_dir, gen, parent=None, n_docs_live=n_docs, sum_dl_live=sum_dl,
         metrics={
@@ -134,6 +141,7 @@ def build_full_index(
             "partitions": part_metrics,
         },
         lineage=lineage or {},
+        extra={"config": layout_record(cfg)},
     )
     if publish:
         mf.publish(index_dir, gen)
@@ -170,6 +178,12 @@ def build_incremental(
     if parent is None:
         raise ValueError("no published index; run build_full_index first")
     chain = mf.manifest_chain(index_dir, parent)
+    from mee_spark.config import check_layout, layout_record
+
+    # layout identity is fixed at first build: a delta gen written with a
+    # different doc_range_size/num_term_buckets would bucket tombstones and
+    # prune term buckets against the wrong on-disk layout (silent data loss)
+    check_layout(cfg, chain)
     # last-writer-wins masks compare GENERATION NUMBERS (a tombstone at
     # gen t kills postings of gens < t); a new gen numbered at or below
     # the chain's max would silently corrupt liveness
@@ -228,23 +242,26 @@ def build_incremental(
     for _c in getattr(added_ids, "_cached_deps", []):
         _c.unpersist()
     delta_docs = spark.read.parquet(_staging)
-    tombstones = (
-        changed.select(F.col("old_doc_id").alias("doc_id"))
-        .unionByName(deleted.select(F.col("old_doc_id").alias("doc_id")))
-    )
 
     # corpus stats delta (exact): N' = N + added − deleted; Σdl' likewise,
-    # replacing changed docs' old dl with the new one. The changed-count
-    # rides the removed-docs aggregate via a flag column — the diff join is
-    # evaluated once here, not twice.
-    rem = (
-        changed.select("old_dl", F.lit(1).alias("chg"))
-        .unionByName(deleted.select("old_dl", F.lit(0).alias("chg")))
-        .agg(F.count("*").alias("n"), F.sum("old_dl").alias("s"),
-             F.sum("chg").alias("nc")).collect()[0]
+    # replacing changed docs' old dl with the new one. The removed-docs
+    # aggregate RIDES the tombstones write via observe() — the tombstone
+    # rows ARE the changed∪deleted set, so the stats cost zero extra jobs
+    # (the diff join is evaluated once here, not twice; the changed-count
+    # rides along as a flag column).
+    tomb_src = (
+        changed.select(F.col("old_doc_id").alias("doc_id"), "old_dl",
+                       F.lit(1).alias("chg"))
+        .unionByName(deleted.select(F.col("old_doc_id").alias("doc_id"),
+                                    "old_dl", F.lit(0).alias("chg")))
     )
-    n_removed, dl_removed = int(rem["n"]), int(rem["s"] or 0)
-    n_changed = int(rem["nc"] or 0)
+    obs_rem = Observation("removed_stats")
+    tomb_src.observe(
+        obs_rem, F.count(F.lit(1)).alias("n"), F.sum("old_dl").alias("s"),
+        F.sum("chg").alias("nc")
+    ).select("doc_id").write.mode("overwrite").parquet(_tombstones_path(index_dir, gen))
+    n_removed, dl_removed = int(obs_rem.get["n"]), int(obs_rem.get["s"] or 0)
+    n_changed = int(obs_rem.get["nc"] or 0)
     prev_m = chain[-1]
     n_live = prev_m["n_docs_live"] + n_delta - n_removed + 0  # changed counted in both
     # changed docs: removed old (in rem) and re-added (in delta) -> net N includes once
@@ -252,7 +269,6 @@ def build_incremental(
     delta_docs.select("url", "doc_id", "dl", "text_hash").write.mode("overwrite").parquet(
         _docmap_path(index_dir, gen)
     )
-    tombstones.write.mode("overwrite").parquet(_tombstones_path(index_dir, gen))
     postings = build_postings(delta_docs.select("doc_id", "tokens", "dl"))
     part_metrics = build_segments(postings, cfg, index_dir, gen, resume=resume)
     import shutil
@@ -269,7 +285,7 @@ def build_incremental(
             "partitions": part_metrics,
         },
         lineage=lineage or {},
-        extra={"has_tombstones": True},
+        extra={"has_tombstones": True, "config": layout_record(cfg)},
     )
     if publish:
         mf.publish(index_dir, gen)

@@ -57,3 +57,37 @@ class IndexConfig:
     wand_min_postings: int = 1 << 16
     lang_filter: str | None = None
     extra_spark_conf: dict = field(default_factory=dict)
+
+
+# On-disk layout identity. ``doc_range_size`` defines which range a
+# tombstoned docID masks; ``num_term_buckets`` defines which bucket
+# directory a term's postings live in. A reader/compactor/incremental
+# writer using different values than build time would silently mask the
+# wrong ranges (resurrecting deleted docs) or prune the wrong buckets —
+# so these are persisted in every manifest and checked on reuse.
+LAYOUT_FIELDS = ("doc_range_size", "num_term_buckets")
+
+
+def layout_record(cfg: IndexConfig) -> dict:
+    """The layout-identity fields persisted into each gen's manifest."""
+    return {f: getattr(cfg, f) for f in LAYOUT_FIELDS}
+
+
+def check_layout(cfg: IndexConfig, chain: list[dict]) -> None:
+    """Raise if ``cfg`` disagrees with any recorded layout in ``chain``.
+
+    Manifests written before layout persistence carry no ``config`` key;
+    those are skipped (best-effort on legacy indexes, strict otherwise).
+    """
+    for m in chain:
+        rec = m.get("config")
+        if not rec:
+            continue
+        bad = {f: (rec[f], getattr(cfg, f))
+               for f in LAYOUT_FIELDS if f in rec and rec[f] != getattr(cfg, f)}
+        if bad:
+            detail = ", ".join(
+                f"{f}: built with {b}, caller passed {c}" for f, (b, c) in bad.items())
+            raise ValueError(
+                f"IndexConfig mismatch vs gen {m['generation']} manifest — {detail}. "
+                f"Layout fields are fixed at build time; pass the recorded values.")

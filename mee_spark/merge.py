@@ -71,6 +71,10 @@ def compact(spark: SparkSession, index_dir: str, cfg: IndexConfig,
     chain = mf.manifest_chain(index_dir)
     if not chain:
         raise ValueError("nothing to compact")
+    from mee_spark.config import check_layout, layout_record
+
+    check_layout(cfg, chain)  # same footgun as the query path: range_id
+    # bucketing of tombstones must use the build-time doc_range_size
     gens = [m["generation"] for m in chain]
     if new_gen <= max(gens):
         raise ValueError(
@@ -90,6 +94,7 @@ def compact(spark: SparkSession, index_dir: str, cfg: IndexConfig,
         metrics={"kind": "compaction", "wall_sec": wall,
                  "compacted_gens": gens, "partitions": part_metrics},
         lineage={"compacted_from": gens},
+        extra={"config": layout_record(cfg)},
     )
     if publish:
         mf.publish(index_dir, new_gen)

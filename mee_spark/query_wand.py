@@ -202,6 +202,13 @@ def bm25_topk_wand(
     chain = mf.manifest_chain(index_dir, gen)
     if not chain:
         raise ValueError(f"no published index at {index_dir}")
+    from mee_spark.config import check_layout
+
+    # tombstone masking buckets by range_id = doc_id // cfg.doc_range_size
+    # and bucket pruning hashes mod cfg.num_term_buckets — both must be the
+    # BUILD-TIME values (persisted in the manifest) or deleted docs silently
+    # resurrect / live buckets are silently skipped
+    check_layout(cfg, chain)
     gens = [m["generation"] for m in chain]
     n_docs = chain[-1]["n_docs_live"]
     avgdl = chain[-1]["avgdl"]

@@ -100,10 +100,21 @@ def wand_topk(cursors: list[TermCursor], k: int,
     ``round_to``: when the FINAL ranking rounds scores (the engine's
     presentation contract), the local heap must select by the SAME rounded
     key, or a doc dropped here could round-tie a kept doc and win the
-    doc_id tie-break globally. Rounding θ keeps pruning safe: entry needs
-    round(s) > θ, both on the 10^-round_to grid, i.e. s > θ + ½·10^-r —
-    so the strict unrounded bound checks (acc < θ, blk_acc < θ) can never
-    prune an admissible doc.
+    doc_id tie-break globally. Two-part safety argument for pruning
+    against the rounded heap floor θ with UNROUNDED upper bounds:
+
+    1. Fully-scored docs are visited in strictly increasing docID order
+       (every scored pivot is the minimum cursor position and all its
+       cursors advance past it), so a later candidate that round-TIES θ
+       always LOSES the (score desc, doc_id asc) tie-break to every doc
+       already in the heap — tie displacement can only run the other way.
+    2. Belt and suspenders, because (1) is a traversal invariant rather
+       than a local property: the pruning threshold is widened to the
+       rounding grid's lower edge, θ_eff = θ − ½·10^-r (epsilon-padded
+       against float error). A doc whose unrounded bound falls below
+       θ_eff has round(score) < θ and can never enter the final ranking;
+       docs inside the half-ulp window are fully scored and rejected by
+       the exact heap comparison instead of being pruned on a bound.
     """
     cursors = [c for c in cursors if c.n > 0]
     if stats is not None:
@@ -115,13 +126,16 @@ def wand_topk(cursors: list[TermCursor], k: int,
     cursors.sort(key=lambda c: c.term)  # fixed scoring order
     heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap; [0] = worst
     big = np.iinfo(np.int64).max
+    # half-ulp of the rounding grid (slightly widened): bounds are
+    # unrounded while θ lives on the grid — see docstring safety argument
+    tie_pad = 0.5000001 * 10.0 ** (-round_to) if round_to is not None else 0.0
 
     while True:
         live = [c for c in cursors if c.ptr < c.n]
         if not live:
             break
         live.sort(key=lambda c: c.cur_doc)
-        theta = heap[0][0] if len(heap) >= k else -np.inf
+        theta = (heap[0][0] - tie_pad) if len(heap) >= k else -np.inf
         # find pivot: first index where cumulative global UBs exceed theta
         acc, pivot_idx = 0.0, -1
         for i, c in enumerate(live):

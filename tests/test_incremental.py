@@ -74,6 +74,38 @@ def test_incremental_equals_full(spark, snaps, tmp_path_factory):
                 assert by_score_full[s] == by_score_inc[s], f"q{qid} tie group {s}"
 
 
+def test_layout_mismatch_rejected(spark, snaps, tmp_path_factory):
+    """ADVICE r2 (query_wand.py:220): doc_range_size buckets the tombstone
+    mask; a query/compaction/delta-build using a different value than build
+    time would silently resurrect deleted docs. The layout is persisted in
+    the manifest and every reuse path must refuse a mismatched cfg."""
+    import dataclasses
+
+    from mee_spark.merge import compact
+
+    d = str(tmp_path_factory.mktemp("layout"))
+    build_full_index(spark, snaps[1], CFG, d, gen=1)
+    assert mf.read_manifest(d, 1)["config"] == {
+        "doc_range_size": CFG.doc_range_size,
+        "num_term_buckets": CFG.num_term_buckets,
+    }
+    bad_range = dataclasses.replace(CFG, doc_range_size=CFG.doc_range_size * 2)
+    bad_buckets = dataclasses.replace(CFG, num_term_buckets=CFG.num_term_buckets * 2)
+    queries = gen_queries(spark, 3)
+    with pytest.raises(ValueError, match="doc_range_size"):
+        bm25_topk_wand(spark, d, queries, bad_range)
+    with pytest.raises(ValueError, match="num_term_buckets"):
+        bm25_topk_wand(spark, d, queries, bad_buckets)
+    with pytest.raises(ValueError, match="doc_range_size"):
+        build_incremental(spark, snaps[2], bad_range, d, gen=2)
+    with pytest.raises(ValueError, match="doc_range_size"):
+        compact(spark, d, bad_range, new_gen=9)
+    # the recorded layout still works, and the delta gen records it too
+    build_incremental(spark, snaps[2], CFG, d, gen=2)
+    assert mf.read_manifest(d, 2)["config"]["doc_range_size"] == CFG.doc_range_size
+    assert bm25_topk_wand(spark, d, queries, CFG).count() >= 0
+
+
 def test_incremental_unchanged_docs_not_reindexed(spark, snaps, tmp_path_factory):
     """Dependency pruning (mee J6 `handlerconfig.py:303-347`): only
     added/changed docs produce postings in the delta generation."""

@@ -7,7 +7,12 @@ import pytest
 
 from mee_spark.bm25 import idf_np
 from mee_spark.codec import block_metadata
-from mee_spark.wand import TermCursor, exhaustive_topk_np, wand_topk
+from mee_spark.wand import (
+    TermCursor,
+    exhaustive_topk_np,
+    exhaustive_topk_vec,
+    wand_topk,
+)
 
 
 def make_cursor(term, rng, n_docs, df, avgdl):
@@ -45,6 +50,38 @@ def test_wand_empty_and_oov():
     rng = np.random.default_rng(1)
     c = make_cursor("x", rng, 100, 0 or 1, 50.0)
     assert len(wand_topk([c], 10)) == 1
+
+
+@pytest.mark.parametrize("seed", range(25))
+@pytest.mark.parametrize("round_to", [0, 1, 2])
+def test_wand_round_tie_boundary(seed, round_to):
+    """ADVICE r2 (wand.py:147): with round_to set, the heap floor θ lives
+    on the 10^-r grid while pruning bounds are unrounded. A doc whose true
+    score falls in [θ − ½·10^-r, θ) rounds TO θ; pruning it on a bound in
+    that half-ulp window must not change the result. Coarse grids (r=0,1)
+    make these boundary docs dense, so WAND ≡ exhaustive here exercises
+    exactly the tie window; k chosen small so θ rises early."""
+    rng = np.random.default_rng(seed)
+    n_docs, avgdl = 3000, 100.0
+    cursors = []
+    for t in range(int(rng.integers(2, 6))):
+        df = int(rng.integers(50, int(n_docs * 0.7)))
+        # narrow tf/dl spread -> many near-identical scores -> dense ties
+        docs = np.sort(rng.choice(n_docs, size=df, replace=False)).astype(np.int64)
+        tfs = rng.integers(1, 4, df).astype(np.int64)
+        dls = rng.integers(80, 120, df).astype(np.int64)
+        last, max_tf, min_dl = block_metadata(docs, tfs, dls, block_size=16)
+        cursors.append(TermCursor(f"t{t:02d}", docs, tfs, dls,
+                                  idf_np(float(df), n_docs), avgdl,
+                                  last, max_tf, min_dl))
+    for k in (3, 10):
+        want = exhaustive_topk_vec(cursors, k, round_to=round_to)
+        for c in cursors:
+            c.ptr = 0
+        got = wand_topk(cursors, k, round_to=round_to)
+        for c in cursors:
+            c.ptr = 0
+        assert got == want, f"seed={seed} r={round_to} k={k}"
 
 
 def test_wand_duplicate_scores_tiebreak():
