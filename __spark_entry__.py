@@ -354,8 +354,11 @@ def q_text_winnow(spark, sf_dir):
 def q_dedup_winnow(spark, sf_dir):
     from mee_spark.textops import winnow_dup_pairs
 
+    # max_fp_df=64 is the production hot-fingerprint cap (boilerplate
+    # skew guard); the oracle SQL applies the IDENTICAL cap, so the
+    # capped scale path itself is what's value-checked
     return winnow_dup_pairs(_read(spark, sf_dir, "documents"),
-                            k=16, window=4, min_shared=5)
+                            k=16, window=4, min_shared=5, max_fp_df=64)
 
 
 def q_pipeline_curate(spark, sf_dir):
@@ -462,9 +465,13 @@ _WINNOW_SQL = _winnow_sql(8, 4)
 
 # pairs instance: k=16 (~two consecutive shared tokens on this corpus —
 # 8-char grams match single Zipfian tokens and degenerate toward
-# all-pairs), window 4, >=5 shared fingerprints
+# all-pairs), window 4, >=5 shared fingerprints, hot-fp cap 64 (mirrors
+# winnow_dup_pairs(max_fp_df=64) — fps in >64 docs are boilerplate noise
+# and an M^2-pair skew bomb at scale; both engines drop them)
 _WINNOW_PAIRS_SQL = f"""
-WITH w AS ({_winnow_sql(16, 4)})
+WITH w0 AS ({_winnow_sql(16, 4)}),
+w AS (SELECT doc_id, fp FROM w0
+      QUALIFY count(*) OVER (PARTITION BY fp) <= 64)
 SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*)::BIGINT AS n_shared
 FROM w a JOIN w b ON a.fp = b.fp AND a.doc_id < b.doc_id
 GROUP BY 1, 2

@@ -75,15 +75,26 @@ def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
-def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5) -> DataFrame:
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
+                        max_shingle_df: int | None = None) -> DataFrame:
     """(doc_id_a, doc_id_b, jaccard) for pairs with shingle-set Jaccard
     >= threshold, a < b.
 
     The shingle equi-join only pairs docs SHARING a shingle — at scale
     this is the blocking step (plus minhash banding upstream, below);
-    the join key is a uniform hash so the shuffle is skew-resistant.
+    the join key is a uniform hash so the shuffle is skew-resistant
+    ACROSS shingles, but a single boilerplate shingle shared by M docs
+    is still one M²-pair group. ``max_shingle_df`` drops shingles with
+    doc frequency above the cap from the UNIVERSE (sizes and join alike,
+    so the Jaccard stays internally consistent over the filtered sets) —
+    the standard stopword-shingle treatment. None = exact kernel for
+    verify/oracle duty, where the candidate set is already blocked.
     """
     sh = shingles(spread(docs), n)
+    if max_shingle_df is not None:
+        hot = (sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+               .filter(F.col("_df") > max_shingle_df).select("shingle"))
+        sh = sh.join(hot, "shingle", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")

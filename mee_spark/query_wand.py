@@ -252,8 +252,11 @@ def bm25_topk_wand(
 
         # parallelism = ranges x query-shards: sharding the query batch keeps
         # big batches parallel even over few ranges, while queries within a
-        # shard still share each (term, gen) decode
-        n_qshards = max(1, min(8, queries.count()))
+        # shard still share each (term, gen) decode. Fixed 8: a batch with
+        # fewer queries just leaves shards empty (no rows -> no groups), so
+        # no count() action is spent sizing it (every extra action is
+        # serial driver time on the query-latency floor)
+        n_qshards = 8
         joined = (
             segs.join(F.broadcast(qterms), "term")
             .withColumn("_qshard", F.pmod(F.col("query_id"), F.lit(n_qshards)))

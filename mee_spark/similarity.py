@@ -22,7 +22,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import IntegerType
+from pyspark.sql.types import IntegerType, LongType
 
 
 def cosine_col(a: Column, b: Column) -> Column:
@@ -74,16 +74,67 @@ def hyperplanes(dim: int, n_planes: int, seed: int = 13) -> np.ndarray:
     return rng.standard_normal((n_planes, dim))
 
 
+def _to_i64(m: int) -> int:
+    """Two's-complement fold of an unsigned bitmask into Spark's LongType
+    (bit 63 set -> negative literal; ``1 << 63`` overflows LongType)."""
+    return m - (1 << 64) if m >= (1 << 63) else m
+
+
+# Past this many hyperplanes the plan-literal fold's expression tree
+# (O(planes x dim) literals) stops being the right form — Catalyst
+# analysis/codegen cost grows with the tree while an Arrow matmul stays
+# one batch op. Oracle-checked instances (8/16 planes) stay on the fold.
+LSH_PLAN_LITERAL_MAX_PLANES = 32
+
+
 def lsh_bucket_col(vec: Column, planes: np.ndarray) -> Column:
-    """Sign-bit bucket id from the hyperplane projections (JVM arithmetic)."""
+    """Sign-bit bucket id from the hyperplane projections (JVM arithmetic).
+
+    The <=32-plane form: left-to-right folds are bit-reproducible across
+    engines (the DuckDB oracle evaluates the same order), at the price of
+    an expression tree that grows O(planes x dim)."""
     bucket = F.lit(0).cast("long")
     for j, plane in enumerate(planes):
         proj = F.aggregate(
             F.zip_with(vec, F.array(*[F.lit(float(c)) for c in plane]),
                        lambda x, c: x.cast("double") * c),
             F.lit(0.0), lambda acc, v: acc + v)
-        bucket = bucket + F.when(proj > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0))
+        bucket = bucket + F.when(
+            proj > 0, F.lit(_to_i64(1 << j)).cast("long")).otherwise(F.lit(0))
     return bucket
+
+
+def lsh_bucket_udf_col(vec: Column, planes: np.ndarray) -> Column:
+    """Arrow-vectorized sign-bit bucket — the wide-plane form (one float64
+    matmul per batch; plan carries a single ArrowEvalPython node instead
+    of O(planes x dim) literals). Matmul reassociates float adds, so a
+    projection within float slop of 0 may land on the other side of the
+    sign than the fold form would put it — acceptable for the scale path,
+    whose candidates are re-verified with exact cosine anyway; keep
+    ``lsh_bucket_col`` for oracle-checked instances. Supports up to 64
+    planes (bucket ids fold into int64 two's-complement)."""
+    n_planes = planes.shape[0]
+    if n_planes > 64:
+        raise ValueError(f"{n_planes} planes > 64: bucket id exceeds int64")
+    P = planes.astype(np.float64)
+    weights = (np.uint64(1) << np.arange(n_planes, dtype=np.uint64))
+
+    @pandas_udf(LongType())
+    def bucket(col: pd.Series) -> pd.Series:
+        m = np.stack(col.to_numpy()).astype(np.float64)
+        bits = (m @ P.T) > 0
+        ids = (bits.astype(np.uint64) * weights).sum(axis=1, dtype=np.uint64)
+        return pd.Series(ids.view(np.int64))
+
+    return bucket(vec)
+
+
+def lsh_bucket_auto_col(vec: Column, planes: np.ndarray) -> Column:
+    """Dispatch on plane count: plan-literal fold (reproducible, small
+    configs) vs Arrow matmul (wide configs)."""
+    if planes.shape[0] > LSH_PLAN_LITERAL_MAX_PLANES:
+        return lsh_bucket_udf_col(vec, planes)
+    return lsh_bucket_col(vec, planes)
 
 
 def ann_lsh_topk(emb: DataFrame, probe_ids: list[int], k: int = 10,
@@ -98,12 +149,12 @@ def ann_lsh_topk(emb: DataFrame, probe_ids: list[int], k: int = 10,
     that straddle one hyperplane are recovered at (planes+1)x candidate
     cost — the standard recall lever without more tables."""
     planes = hyperplanes(dim, n_planes, seed)
-    bucketed = emb.withColumn("bkt", lsh_bucket_col(F.col("embedding"), planes))
+    bucketed = emb.withColumn("bkt", lsh_bucket_auto_col(F.col("embedding"), planes))
     probes = bucketed.filter(F.col("vec_id").isin([int(p) for p in probe_ids])).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pvec"),
         F.col("bkt").alias("pbkt"))
     if multi_probe:
-        flips = F.array(F.lit(0), *[F.lit(1 << j) for j in range(n_planes)])
+        flips = F.array(F.lit(0), *[F.lit(_to_i64(1 << j)) for j in range(n_planes)])
         probes = probes.withColumn(
             "pbkt", F.explode(F.transform(flips, lambda m: F.col("pbkt").bitwiseXOR(m))))
     scored = (
@@ -307,8 +358,16 @@ def embedding_dup_pairs(emb: DataFrame, threshold: float = 0.98) -> DataFrame:
 
 
 def _probe_masks(n_planes: int, radius: int) -> list[int]:
-    """All XOR masks of popcount <= radius over n_planes bits (sorted)."""
-    masks = [m for m in range(1 << n_planes) if bin(m).count("1") <= radius]
+    """All XOR masks of popcount <= radius over n_planes bits (sorted,
+    int64 two's-complement). Generated combinatorially — C(n, <=r) masks,
+    never a 2^n scan (64 planes / radius 1 is 65 masks, not 2^64)."""
+    from itertools import combinations
+
+    masks = [
+        _to_i64(sum(1 << b for b in bits))
+        for r in range(radius + 1)
+        for bits in combinations(range(n_planes), r)
+    ]
     return sorted(masks)
 
 
@@ -338,7 +397,7 @@ def embedding_dup_pairs_lsh(
     bucketed = spread(emb).select(
         "vec_id", F.col("embedding"),
         norm_col(F.col("embedding")).alias("nrm"),
-        lsh_bucket_col(F.col("embedding"), planes).alias("bkt"))
+        lsh_bucket_auto_col(F.col("embedding"), planes).alias("bkt"))
     # vectors + precomputed norms ride THROUGH the bucket join (a 64-float
     # array is ~0.5 KB — cheaper to carry than to re-join 2x afterwards),
     # and the verify pays ONE fold per candidate (dot; norms hoisted)

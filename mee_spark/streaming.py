@@ -142,31 +142,46 @@ def incremental_index_stream(
     return writer.start()
 
 
-def stateful_url_dedup(pages_stream: DataFrame) -> DataFrame:
+def stateful_url_dedup(pages_stream: DataFrame, mode: str = "exact",
+                       bloom_bits_per_shard: int = 1 << 20,
+                       bloom_hashes: int = 7) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: emit each url
     at most once across ALL micro-batches (a streaming exact-dedup front
     for the indexer — the at-least-once event stream becomes
     effectively-once, mee's T2 concern `basecosumerservice.py:36-53`).
 
-    State per url-hash-prefix group = the set of seen FULL urls (exact:
-    a 64-bit hash alone would silently drop a distinct doc on collision,
-    and collisions are likely well below 10^12 docs). Keys are a 12-bit
-    hash prefix so state shards evenly across executors and each group's
-    state stays small relative to the corpus (at 10^12 docs you raise the
-    prefix width; the operator shape is identical — a Bloom filter swap
-    would trade exactness for space and is deliberately NOT used here).
+    ``mode="exact"``: state per url-hash-prefix group = the set of seen
+    FULL urls (a 64-bit hash alone would silently drop a distinct doc on
+    collision, and collisions are likely well below 10^12 docs). Keys are
+    a 12-bit hash prefix so state shards evenly across executors; state
+    is O(all urls) by design — the right default up to the point where
+    per-shard state outgrows the state store.
+
+    ``mode="bloom"``: the explicit 10^12-url space/exactness trade —
+    state per shard is a FIXED ``bloom_bits_per_shard``-bit Bloom filter
+    (``bloom_hashes`` probes by double hashing). A false positive DROPS a
+    distinct url: with m bits, k hashes and n urls in a shard the drop
+    probability is ~(1 - e^(-kn/m))^k — at the defaults (2^20 bits, k=7)
+    a shard absorbs ~10^5 urls at <1% FP, so 4096 shards cover ~4·10^8
+    urls in 512 MB of total state; size m per your corpus. Exactness is
+    traded EXPLICITLY by the caller, never silently.
     """
+    import hashlib
+
+    import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
+
+    if mode not in ("exact", "bloom"):
+        raise ValueError(f"unknown dedup mode {mode!r}: exact|bloom")
 
     keyed = pages_stream.withColumn(
         "shard", F.pmod(F.xxhash64("url"), F.lit(4096)).cast("int"))
 
     out_schema = ("shard int, url string, warc_ts timestamp, html binary, "
                   "text string, lang string")
-    state_schema = "seen array<string>"
 
-    def dedup(key, pdfs, state):
+    def dedup_exact(key, pdfs, state):
         seen = set(state.get[0]) if state.exists else set()
         outs = []
         for pdf in pdfs:
@@ -185,8 +200,47 @@ def stateful_url_dedup(pages_stream: DataFrame) -> DataFrame:
         if outs:
             yield pd.concat(outs)
 
+    m_bits = int(bloom_bits_per_shard)
+    k_hashes = int(bloom_hashes)
+
+    def _bloom_positions(url: str) -> list[int]:
+        # double hashing over one 128-bit digest: h_i = h1 + i*h2 (mod m)
+        d = hashlib.blake2b(url.encode("utf-8"), digest_size=16).digest()
+        h1 = int.from_bytes(d[:8], "little")
+        h2 = int.from_bytes(d[8:], "little") | 1  # odd -> full-period probe
+        return [(h1 + i * h2) % m_bits for i in range(k_hashes)]
+
+    def dedup_bloom(key, pdfs, state):
+        if state.exists:
+            bits = np.frombuffer(state.get[0], dtype=np.uint8).copy()
+        else:
+            bits = np.zeros(m_bits // 8 + 1, dtype=np.uint8)
+        outs = []
+        for pdf in pdfs:
+            fresh_mask = []
+            for u in pdf["url"]:
+                pos = _bloom_positions(u)
+                bytes_ = [p >> 3 for p in pos]
+                masks = [1 << (p & 7) for p in pos]
+                if all(bits[by] & mk for by, mk in zip(bytes_, masks)):
+                    fresh_mask.append(False)  # (probably) seen; FP drops
+                else:
+                    for by, mk in zip(bytes_, masks):
+                        bits[by] |= mk
+                    fresh_mask.append(True)
+            new = pdf[pd.Series(fresh_mask, index=pdf.index).to_numpy()]
+            if len(new):
+                outs.append(new)
+        state.update((bytearray(bits.tobytes()),))
+        if outs:
+            yield pd.concat(outs)
+
+    if mode == "bloom":
+        return keyed.groupBy("shard").applyInPandasWithState(
+            dedup_bloom, out_schema, "bits binary", "append",
+            GroupStateTimeout.NoTimeout)
     return keyed.groupBy("shard").applyInPandasWithState(
-        dedup, out_schema, state_schema, "append",
+        dedup_exact, out_schema, "seen array<string>", "append",
         GroupStateTimeout.NoTimeout)
 
 

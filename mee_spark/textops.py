@@ -173,15 +173,29 @@ def winnow_fingerprints(docs: DataFrame, k: int = 8, window: int = 4) -> DataFra
 
 
 def winnow_dup_pairs(docs: DataFrame, k: int = 8, window: int = 4,
-                     min_shared: int = 2) -> DataFrame:
+                     min_shared: int = 2,
+                     max_fp_df: int | None = None) -> DataFrame:
     """(doc_id_a, doc_id_b, n_shared) — near-dup pairs by SHARED winnowing
     fingerprints (the plagiarism-detection classic): docs only meet
     through a fingerprint equi-join (the blocking key is a uniform hash —
     skew-free shuffle), so all-pairs never materializes; ``min_shared``
     filters incidental single-gram collisions. Completes the dedup family
     next to minhash-LSH (token-set similarity) with positional-substring
-    similarity."""
+    similarity.
+
+    ``max_fp_df`` — hot-fingerprint cap (standard winnowing practice):
+    the blocking key is a CONTENT hash, so web boilerplate (cookie
+    banners, nav text) shared by M docs makes ONE fp group with M²
+    candidate pairs — at Common-Crawl scale a single ubiquitous paragraph
+    is a 10^12-pair skew bomb. Fingerprints with doc frequency above the
+    cap carry no discriminative signal and are anti-joined out before the
+    self-join (the hot set is tiny — AQE broadcasts it). None = uncapped
+    exact kernel (oracle duty)."""
     fps = winnow_fingerprints(docs, k, window)
+    if max_fp_df is not None:
+        hot = (fps.groupBy("fp").agg(F.count(F.lit(1)).alias("_df"))
+               .filter(F.col("_df") > max_fp_df).select("fp"))
+        fps = fps.join(hot, "fp", "left_anti")
     a, b = fps.alias("a"), fps.alias("b")
     return (
         a.join(b, (F.col("a.fp") == F.col("b.fp"))

@@ -154,3 +154,98 @@ def test_ann_ivf_fixed_matches_plan_and_recall(spark):
     hits = sum(1 for r in res if r["vec_id"] in brute.get(r["probe_id"], set()))
     recall = hits / (10 * len(probes))
     assert recall >= 0.3, f"fixed-IVF recall {recall}"
+
+
+def _boilerplate_corpus(spark, n_docs=120):
+    """Every doc: unique filler + ONE shared boilerplate paragraph — the
+    Common-Crawl cookie-banner shape that makes a single fingerprint/
+    shingle key carry n_docs^2 candidate pairs."""
+    boiler = "accept cookies privacy policy terms of service navigation menu " * 4
+    rows = [(i, f"unique{i}a word{i}b filler{i}c token{i}d " * 6 + boiler)
+            for i in range(n_docs)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_winnow_hot_fp_cap_bounds_boilerplate_skew(spark):
+    from mee_spark.textops import winnow_dup_pairs, winnow_fingerprints
+
+    docs = _boilerplate_corpus(spark)
+    n = docs.count()
+    # the boilerplate fps appear in every doc — the uncapped join pays n^2
+    fp_df = (winnow_fingerprints(docs, k=16, window=4)
+             .groupBy("fp").count())
+    assert fp_df.filter(F.col("count") == n).count() > 0
+    uncapped = winnow_dup_pairs(docs, k=16, window=4, min_shared=1).count()
+    assert uncapped == n * (n - 1) // 2  # every pair meets via boilerplate
+    capped = winnow_dup_pairs(docs, k=16, window=4, min_shared=1,
+                              max_fp_df=16).count()
+    # boilerplate's n^2 blow-up is gone; what survives is the low-df tail
+    # of filler grams that legitimately pass the cap (~1% here)
+    assert capped * 50 < uncapped
+    # a cap above the max fp df is a no-op (correctness-preserving knob)
+    loose = winnow_dup_pairs(docs, k=16, window=4, min_shared=1,
+                             max_fp_df=n).count()
+    assert loose == uncapped
+
+
+def test_ngram_hot_shingle_cap_bounds_boilerplate_skew(spark):
+    docs = _boilerplate_corpus(spark)
+    n = docs.count()
+    uncapped = ngram_jaccard_pairs(docs, n=3, threshold=0.05).count()
+    assert uncapped == n * (n - 1) // 2
+    capped = ngram_jaccard_pairs(docs, n=3, threshold=0.05,
+                                 max_shingle_df=16).count()
+    assert capped == 0
+    loose = ngram_jaccard_pairs(docs, n=3, threshold=0.05,
+                                max_shingle_df=n).count()
+    assert loose == uncapped
+
+
+def test_wide_plane_lsh_switches_to_arrow_matmul(spark):
+    """VERDICT r2 watch item: past 32 planes the plan-literal fold is the
+    wrong form (O(planes x dim) literal tree). The dispatcher must switch
+    to the Arrow matmul, the plan string must stay sane, and bucket ids
+    must match a driver-side reference bit-exactly under integer-valued
+    (exactly representable) arithmetic."""
+    import numpy as np
+
+    from mee_spark.similarity import (
+        _probe_masks,
+        ann_lsh_topk,
+        lsh_bucket_auto_col,
+        lsh_bucket_col,
+        lsh_bucket_udf_col,
+    )
+
+    rng = np.random.default_rng(7)
+    planes = rng.integers(-3, 4, size=(64, 16)).astype(np.float64)
+    vecs = rng.integers(-5, 6, size=(200, 16)).astype(np.float64)
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(vecs)],
+        "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r["b"] for r in emb.select(
+        "vec_id", lsh_bucket_udf_col(F.col("embedding"), planes).alias("b")
+    ).collect()}
+    bits = (vecs @ planes.T) > 0
+    weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    want = (bits.astype(np.uint64) * weights).sum(
+        axis=1, dtype=np.uint64).view(np.int64)
+    assert [got[i] for i in range(200)] == [int(w) for w in want]
+    # integer components: every product/sum is exact, so fold == matmul
+    fold = {r["vec_id"]: r["b"] for r in emb.select(
+        "vec_id", lsh_bucket_col(F.col("embedding"), planes[:16]).alias("b")
+    ).collect()}
+    udf16 = {r["vec_id"]: r["b"] for r in emb.select(
+        "vec_id", lsh_bucket_udf_col(F.col("embedding"), planes[:16]).alias("b")
+    ).collect()}
+    assert fold == udf16
+    # the auto form at 64 planes is one ArrowEvalPython node, not a
+    # 64 x dim literal tree
+    plan = (emb.select(lsh_bucket_auto_col(F.col("embedding"), planes).alias("b"))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "ArrowEvalPython" in plan and len(plan) < 20_000
+    # probe-mask generation is combinatorial, not a 2^n scan
+    assert len(_probe_masks(64, 1)) == 65
+    # end-to-end 64-plane query runs (top-bit masks are valid int64)
+    real = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    assert ann_lsh_topk(real, [1, 2], k=5, n_planes=64).count() >= 0

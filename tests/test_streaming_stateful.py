@@ -43,6 +43,43 @@ def test_stateful_url_dedup_across_batches(spark, tmp_path_factory):
     assert run_batch(b2) == 130
 
 
+def test_stateful_url_dedup_bloom_mode(spark, tmp_path_factory):
+    """VERDICT r2 item 6: the 10^12-url state tier as code. A well-sized
+    Bloom filter matches exact dedup; a starved one drops MORE (false
+    positives collapse distinct urls) but still never emits a dup —
+    exactness is traded explicitly, in one direction only."""
+    import pandas as pd
+
+    from mee_spark.streaming import read_page_stream, stateful_url_dedup
+
+    base = gen_pages_pandas(100)
+    b2 = pd.concat([base.iloc[:50], gen_pages_pandas(40, start_row=100)],
+                   ignore_index=True)
+
+    def run(mode, **kw):
+        src = str(tmp_path_factory.mktemp(f"bsrc_{mode}{kw.get('bloom_bits_per_shard', 0)}"))
+        ckpt = str(tmp_path_factory.mktemp("bckpt"))
+        out = str(tmp_path_factory.mktemp("bout"))
+        for pdf in (base, b2):
+            spark.createDataFrame(pdf, PAGES_SCHEMA).coalesce(1).write.mode(
+                "append").parquet(src)
+            q = (stateful_url_dedup(read_page_stream(spark, src), mode=mode, **kw)
+                 .writeStream.format("parquet").option("path", out)
+                 .option("checkpointLocation", ckpt)
+                 .outputMode("append").trigger(availableNow=True).start())
+            q.awaitTermination(120)
+        urls = [r["url"] for r in spark.read.parquet(out).collect()]
+        return urls
+
+    exact = run("exact")
+    assert len(exact) == 140 and len(set(exact)) == 140
+    sized = run("bloom", bloom_bits_per_shard=1 << 20, bloom_hashes=7)
+    assert sorted(sized) == sorted(exact)  # FP ~ 0 at 2^20 bits/shard
+    starved = run("bloom", bloom_bits_per_shard=4, bloom_hashes=7)
+    assert len(set(starved)) == len(starved)  # never emits a dup
+    assert 0 < len(starved) < len(exact)  # saturated filter drops extras
+
+
 # ------------------------------------------------------------- negatives
 
 def test_query_missing_index_raises(spark, tmp_path):
