@@ -62,13 +62,15 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-# 300k docs: the RATIO'S ceiling depends on corpus size through per-stage
-# wave overheads (not the ~1.3 s serial floor): measured steady-state
-# core-seconds at 150k are 26% HIGHER at 8 cores than at 2 (W8=111 vs
-# W2=88), capping even a quiet-box ratio at ~0.75 — below the gate. At
-# 300k the inflation vanishes (round-1 clean pair: W2≈W8≈215, eff 0.97;
-# with round-2 split/warmup fixes t2=83 s, t8=32 s under ambient load).
-# Bigger would be better still but blows the wall budget's sample count.
+# 300k docs (round-3 re-derivation): with the AQE wave fix the build's
+# serial floor is small again (same-window quiet pair measured 0.87-0.9
+# at 300k: t2≈85-95 s, t8≈24-27 s), so corpus size no longer binds the
+# ratio — SAMPLE COUNT does. The host shows multi-minute dilation bursts
+# uncorrelated with 1-min loadavg (identical local[8] builds measured
+# 24 s and 71 s twenty minutes apart), and no single run length averages
+# them out (a 1M-doc t8 measured 223 s mid-burst and 65 s quiet). Short
+# pairs x many samples + median is the defense; 300k keeps a pair at
+# ~220 s so six pairs fit the budget.
 BENCH_DOCS = int(os.environ.get("MEE_BENCH_DOCS", "300000"))
 # warmup must be a THIRD of the timed size, not a toy: a 4k-doc warmup
 # leaves the first full-size build ~2x slower than steady state (JIT +
@@ -82,7 +84,7 @@ SCALING_N = int(os.environ.get("MEE_BENCH_N", "2"))
 SCALING_4N = 4 * SCALING_N
 # fixed, outcome-independent schedule of ADJACENT same-window pairs;
 # order alternates so in-window load drift biases half the pairs each way
-N_PAIRS = int(os.environ.get("MEE_BENCH_PAIRS", "4"))
+N_PAIRS = int(os.environ.get("MEE_BENCH_PAIRS", "6"))
 PAIR_PLAN = [
     [SCALING_N, SCALING_4N] if i % 2 == 0 else [SCALING_4N, SCALING_N]
     for i in range(N_PAIRS)
@@ -118,6 +120,17 @@ def make_session(cores: int):
         .config("spark.local.dir", f"{SHM}/sparktmp")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
+        # AQE coalescing must target WAVES of modest partitions, not one
+        # partition per core: parallelismFirst=true (default) coalesces
+        # each shuffle stage to ~cores partitions -> a 9-task stage on 8
+        # cores idles 7 cores for its whole second wave, and the oversized
+        # partitions spill (measured: one build stage 26.8s/9 tasks/166
+        # core-sec -> 1.5s/32 tasks/10 core-sec after the fix; same-window
+        # 2v8 pair efficiency 0.59 -> 0.87). Core-count-independent, so
+        # both scaling levels see identical plans. Mirrors
+        # mee_spark.session.recommended_conf.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
         # scan-split sizing: the bench corpus is ~128 small files; default
         # maxPartitionBytes/openCost pack them into ~4 splits, which
         # starves the 4N level's cores in every pre-shuffle stage while

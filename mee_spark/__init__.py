@@ -18,3 +18,4 @@ no per-row Python anywhere.
 __version__ = "0.1.0"
 
 from mee_spark.config import IndexConfig, K1, B, BLOCK_SIZE  # noqa: F401
+from mee_spark.session import recommended_conf  # noqa: F401
