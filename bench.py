@@ -37,8 +37,14 @@ Scaling protocol (hard-won; see BENCH/BASELINE.md):
     measured average pair duration — a budget stop can reduce the pair
     count but can never strand a single-level sample as the headline.
     Dropped pairs are logged and counted in the JSON.
-  * a quiet gate (load < MEE_BENCH_QUIET_LOAD, bounded wait) delays each
-    PAIR's start — shifting starts toward quiet windows is honest (every
+  * a quiet gate (host busy share < MEE_BENCH_QUIET_BUSY, bounded wait)
+    delays each PAIR's start. The signal is /proc/stat busy fraction, NOT
+    1-min loadavg: loadavg decays over minutes (our own just-finished run
+    pollutes it) while neighbor bursts are instantaneous; busy-share
+    sampled while we are idle measures exactly the neighbors. Every run
+    also SAMPLES the host busy share while it executes (host_busy_mean/
+    max in each record) — the artifact carries its own interference
+    evidence. Shifting starts toward quiet windows is honest (every
     planned pair still runs and reports); waiting between the two levels
     of a pair would break the same-window property, so the gate never
     splits a pair.
@@ -153,22 +159,43 @@ def loadavg() -> float:
     return float(open("/proc/loadavg").read().split()[0])
 
 
+def _stat_snap() -> tuple[int, int]:
+    """(busy_jiffies, total_jiffies) from /proc/stat line 1."""
+    v = list(map(int, open("/proc/stat").readline().split()[1:]))
+    idle = v[3] + v[4]  # idle + iowait
+    return sum(v) - idle, sum(v)
+
+
+def cpu_busy_frac(sample_sec: float = 1.0) -> float:
+    """Fraction of ALL host cores busy over a short window — the actual
+    interference signal. 1-min loadavg is useless here: it decays over
+    minutes (our own just-finished run pollutes it) while the real
+    neighbor load is bursty; /proc/stat busy-share is instantaneous and,
+    sampled while we are idle, measures exactly the neighbors."""
+    b0, t0 = _stat_snap()
+    time.sleep(sample_sec)
+    b1, t1 = _stat_snap()
+    return (b1 - b0) / max(1, t1 - t0)
+
+
 def wait_for_quiet(threshold: float, max_wait_sec: float) -> float:
-    """Delay a run's START (never its inclusion) until neighbor load dips
-    below ``threshold``, bounded by ``max_wait_sec``. Shifting start times
-    toward quiet moments is honest — every planned run still executes and
-    every result is reported; this only avoids knowingly measuring through
-    interference. Returns the load observed when proceeding."""
+    """Delay a run's START (never its inclusion) until the host's busy
+    share (neighbors — we are idle while waiting) dips below
+    ``threshold`` (fraction of all cores), bounded by ``max_wait_sec``.
+    Shifting start times toward quiet moments is honest — every planned
+    run still executes and every result is reported; this only avoids
+    knowingly measuring through interference. Returns the busy fraction
+    observed when proceeding."""
     waited = 0.0
-    load = loadavg()
-    while load > threshold and waited < max_wait_sec:
-        time.sleep(5)
+    busy = cpu_busy_frac(1.0)
+    while busy > threshold and waited < max_wait_sec:
+        time.sleep(4)
         waited += 5
-        load = loadavg()
+        busy = cpu_busy_frac(1.0)
     if waited:
-        print(f"[bench] waited {waited:.0f}s for quiet (load now {load})",
-              file=sys.stderr, flush=True)
-    return load
+        print(f"[bench] waited {waited:.0f}s for quiet (host busy now "
+              f"{busy:.2f})", file=sys.stderr, flush=True)
+    return round(busy, 3)
 
 
 # ---------------------------------------------------------------- level mode
@@ -214,15 +241,33 @@ def run_level(cores: int, corpus: str, n_docs: int, with_queries: bool) -> None:
 
 
 def spawn_level(cores: int, corpus: str, with_queries: bool) -> dict:
+    """Run one level in a fresh JVM while sampling the HOST's busy share
+    every 5 s — the record carries the interference evidence (our own
+    16-thread 4N level accounts for <=0.5 busy on 32 cores; anything
+    above it is neighbors)."""
     env = os.environ | {"PYTHONPATH": os.path.dirname(os.path.abspath(__file__))}
     args = [sys.executable, os.path.abspath(__file__), "--level", str(cores), corpus]
     if with_queries:
         args.append("--queries")
-    out = subprocess.run(args, capture_output=True, text=True, env=env, timeout=1800)
-    for line in out.stdout.splitlines():
+    proc = subprocess.Popen(args, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                            text=True, env=env)
+    busy_samples: list[float] = []
+    t0 = time.monotonic()
+    while proc.poll() is None:
+        busy_samples.append(cpu_busy_frac(1.0))
+        if time.monotonic() - t0 > 1800:
+            proc.kill()
+            raise RuntimeError(f"level {cores} timed out")
+        time.sleep(4)
+    out, err = proc.communicate()
+    for line in out.splitlines():
         if line.startswith("LEVEL "):
-            return json.loads(line[len("LEVEL "):])
-    raise RuntimeError(f"level {cores} failed: {out.stderr[-2000:]}")
+            rec = json.loads(line[len("LEVEL "):])
+            if busy_samples:
+                rec["host_busy_mean"] = round(sum(busy_samples) / len(busy_samples), 3)
+                rec["host_busy_max"] = round(max(busy_samples), 3)
+            return rec
+    raise RuntimeError(f"level {cores} failed: {err[-2000:]}")
 
 
 # ------------------------------------------------------------------ main
@@ -263,7 +308,7 @@ def main() -> None:
     gen_pages(spark, BENCH_DOCS, num_partitions=PARTITIONS).write.mode(
         "overwrite").parquet(corpus)
     q_load = wait_for_quiet(
-        threshold=float(os.environ.get("MEE_BENCH_QUIET_LOAD", "3.0")),
+        threshold=float(os.environ.get("MEE_BENCH_QUIET_BUSY", "0.15")),
         max_wait_sec=float(os.environ.get("MEE_BENCH_QUIET_WAIT", "240")))
     queries_sec = time_queries(spark)
     q_load_end = loadavg()
@@ -276,7 +321,7 @@ def main() -> None:
     # logged and counted.
     bench_t0 = time.monotonic()
     budget = float(os.environ.get("MEE_BENCH_BUDGET_SEC", "2700"))
-    quiet_load = float(os.environ.get("MEE_BENCH_QUIET_LOAD", "3.0"))
+    quiet_busy = float(os.environ.get("MEE_BENCH_QUIET_BUSY", "0.15"))
     quiet_wait = float(os.environ.get("MEE_BENCH_QUIET_WAIT", "240"))
     pairs: list[dict] = []
     dropped_pairs = 0
@@ -292,16 +337,15 @@ def main() -> None:
                       file=sys.stderr, flush=True)
                 break
         # gate the PAIR start; never wait between the two levels of a pair
-        load_now = wait_for_quiet(threshold=quiet_load, max_wait_sec=quiet_wait)
+        busy_now = wait_for_quiet(threshold=quiet_busy, max_wait_sec=quiet_wait)
         with_q = i == 0  # query batch rides the first pair's 4N run
-        pair: dict = {"order": list(order), "load_at_start": load_now,
+        pair: dict = {"order": list(order), "host_busy_at_start": busy_now,
                       "runs": {}}
         print(f"[bench] pair {i + 1}/{len(PAIR_PLAN)}: order {order} "
-              f"(load {load_now})", file=sys.stderr, flush=True)
+              f"(host busy {busy_now})", file=sys.stderr, flush=True)
         for cores in order:
             q = with_q and cores == SCALING_4N
             rec = spawn_level(cores, corpus, q)
-            rec["loadavg_after"] = loadavg()
             pair["runs"][str(cores)] = rec
             print(f"[bench]   local[{cores}] done: {rec}",
                   file=sys.stderr, flush=True)
@@ -345,7 +389,7 @@ def main() -> None:
         "scaling_efficiency": round(eff_median, 3),
         "scaling_efficiency_best_pair": round(max(effs), 3) if effs else None,
         "host_loadavg": {"start": load_start, "end": load_end,
-                         "query_phase": [q_load, q_load_end]},
+                         "query_phase_busy_then_loadavg": [q_load, q_load_end]},
     }))
 
 
