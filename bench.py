@@ -437,6 +437,7 @@ def main() -> None:
     quiet_wait = float(os.environ.get("MEE_BENCH_QUIET_WAIT", "240"))
     pairs: list[dict] = []
     dropped_pairs = 0
+    queried_once = False
     for i, order in enumerate(PAIR_PLAN):
         elapsed = time.monotonic() - bench_t0
         if i > 0 and pairs:
@@ -450,8 +451,6 @@ def main() -> None:
                 break
         # gate the PAIR start; never wait between the levels of a pair
         busy_now = wait_for_quiet(threshold=quiet_busy, max_wait_sec=quiet_wait)
-        queried = any("sec_per_query" in p["runs"].get(str(SCALING_4N), {})
-                      for p in pairs)
         pair: dict = {"order": list(order), "host_busy_at_start": busy_now,
                       "canary_ms_at_start": canary_ms(),
                       "canary_ms_best": round(_CANARY_BEST[0], 1),
@@ -464,8 +463,8 @@ def main() -> None:
               f"(host busy {busy_now}, hw ceiling "
               f"{pair['hw_parallel_scaling']})", file=sys.stderr, flush=True)
         for cores in order:
-            q = (not queried) and cores == SCALING_4N
-            queried = queried or q
+            q = (not queried_once) and cores == SCALING_4N
+            queried_once = queried_once or q
             rec = spawn_level(cores, corpus, q)
             if cores == SCALING_4N:
                 pair["runs_4n_all"].append(rec)
@@ -500,8 +499,8 @@ def main() -> None:
                    if p.get("hw_parallel_scaling")]
     best_pair = max(pairs, key=lambda p: p["runs"][str(SCALING_4N)]["docs_per_sec"])
     lo, hi = best_pair["runs"][str(SCALING_N)], best_pair["runs"][str(SCALING_4N)]
-    qrun = next((p["runs"][str(SCALING_4N)] for p in pairs
-                 if "sec_per_query" in p["runs"][str(SCALING_4N)]), {})
+    qrun = next((r for p in pairs for r in p.get("runs_4n_all", [])
+                 if "sec_per_query" in r), {})
 
     load_end = loadavg()
     shutil.rmtree(SHM, ignore_errors=True)

@@ -38,18 +38,27 @@ def assign_doc_ids(pages: DataFrame, num_partitions: int = 32,
     """Return (url, doc_id) with doc_id = start_id + dense rank of url.
 
     Fully distributed: no global window, no driver materialization beyond
-    one count per partition. Exactly TWO shuffles (distinct, range); the
-    per-partition local rank is computed in-place with mapInPandas on the
-    already-range-sorted data (a window over the partition id would add a
-    third shuffle and recompute the chain). The result is cached: it is
+    one count per partition. Exactly ONE shuffle (the range repartition;
+    equal urls colocate there and the sorted rank pass dedups them
+    adjacent-wise, so no distinct() exchange); the per-partition local
+    rank is computed in-place with mapInPandas on the already-range-sorted
+    data (a window over the partition id would add another shuffle and
+    recompute the chain). The result is cached: it is
     read twice (offset count + downstream join) and at 10^12 docs the
     url→id map must not be recomputed per consumer.
     """
+    import numpy as np
     import pandas as pd
     from pyspark import TaskContext
 
+    # NO .distinct() before the range shuffle: range partitioning
+    # colocates equal urls and the within-partition sort makes them
+    # adjacent, so the rank pass dedups them for free (url != previous).
+    # distinct() would cost a SECOND full shuffle of the url set — at
+    # 10^12 docs that is the single largest avoidable exchange in the
+    # build (and ~1 s of fixed stage time per build at bench scale).
     ranged = (
-        pages.select("url").distinct()
+        pages.select("url")
         .repartitionByRange(num_partitions, "url")
         .sortWithinPartitions("url")
     )
@@ -57,13 +66,25 @@ def assign_doc_ids(pages: DataFrame, num_partitions: int = 32,
     def attach_local_rank(batches):
         pid = TaskContext.get().partitionId()
         i = 0
+        prev = None
         for pdf in batches:
+            urls = pdf["url"].to_numpy()
+            if len(urls) == 0:
+                continue
+            # adjacent-dedup: equal urls are contiguous post-sort; the
+            # first row of each batch checks against the previous batch's
+            # last url (runs can span Arrow batch boundaries)
+            keep = np.empty(len(urls), dtype=bool)
+            keep[0] = urls[0] != prev
+            keep[1:] = urls[1:] != urls[:-1]
+            urls = urls[keep]
+            prev = pdf["url"].iloc[-1]
             out = pd.DataFrame({
-                "url": pdf["url"],
+                "url": urls,
                 "_pid": pid,
-                "_idx": range(i, i + len(pdf)),
+                "_idx": range(i, i + len(urls)),
             })
-            i += len(pdf)
+            i += len(urls)
             yield out
 
     local = ranged.mapInPandas(attach_local_rank, "url string, _pid int, _idx long").cache()
