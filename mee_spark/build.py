@@ -94,10 +94,6 @@ def build_full_index(
                       F.sum("dl").alias("sum_dl")).write.mode("overwrite").parquet(staging)
     n_docs = int(obs.get["n"])
     sum_dl = int(obs.get["sum_dl"] or 0)
-    # the staging write was the last consumer of the cached url→id map;
-    # release it or repeated builds in one session pin executor storage
-    for _c in getattr(docmap, "_cached_deps", []):
-        _c.unpersist()
     docs = spark.read.parquet(staging)
 
     # docmap write and segment build are independent reads of the staging
@@ -239,8 +235,6 @@ def build_incremental(
     delta_plan.observe(obs, F.count(F.lit(1)).alias("n"),
                        F.sum("dl").alias("s")).write.mode("overwrite").parquet(_staging)
     n_delta, dl_delta = int(obs.get["n"]), int(obs.get["s"] or 0)
-    for _c in getattr(added_ids, "_cached_deps", []):
-        _c.unpersist()
     delta_docs = spark.read.parquet(_staging)
 
     # corpus stats delta (exact): N' = N + added − deleted; Σdl' likewise,

@@ -17,10 +17,10 @@ identity contract.
 Scale note: a naive ``dense_rank`` over a global ``Window.orderBy`` would
 collapse to ONE partition — unusable at 10^12 docs. Instead we use the
 classic scalable global-ordering pattern: range-repartition by url, sort
-within partitions, count rows per partition (a tiny driver-side list, one
-int per partition), prefix-sum the counts into per-partition offsets, and
-assign ``offset + local_rank``. Every step is fully parallel; the only
-driver data is O(num_partitions).
+within partitions, count rows per partition, prefix-sum the counts into
+per-partition offsets (a lazy window over O(num_partitions) rows — no
+driver collect), and assign ``offset + local_rank``. Every step is fully
+parallel and the whole assignment folds into its consumer's job.
 """
 
 from __future__ import annotations
@@ -37,15 +37,16 @@ def assign_doc_ids(pages: DataFrame, num_partitions: int = 32,
                    materialize_path: str | None = None) -> DataFrame:
     """Return (url, doc_id) with doc_id = start_id + dense rank of url.
 
-    Fully distributed: no global window, no driver materialization beyond
-    one count per partition. Exactly ONE shuffle (the range repartition;
-    equal urls colocate there and the sorted rank pass dedups them
-    adjacent-wise, so no distinct() exchange); the per-partition local
-    rank is computed in-place with mapInPandas on the already-range-sorted
-    data (a window over the partition id would add another shuffle and
-    recompute the chain). The result is cached: it is
-    read twice (offset count + downstream join) and at 10^12 docs the
-    url→id map must not be recomputed per consumer.
+    Fully distributed AND fully lazy: exactly ONE shuffle (the range
+    repartition; equal urls colocate there and the sorted rank pass
+    dedups them adjacent-wise, so no distinct() exchange), zero Spark
+    actions of its own (per-partition offsets are a lazy prefix-sum
+    window over the tiny counts, broadcast into the rank join — no
+    driver collect), and the per-partition local rank is computed
+    in-place with mapInPandas on the already-range-sorted data (a window
+    over the partition id would add another shuffle). Evaluate-once
+    semantics: consume the result in a single downstream action (the
+    builders stage it to parquet immediately).
     """
     import numpy as np
     import pandas as pd
@@ -87,32 +88,32 @@ def assign_doc_ids(pages: DataFrame, num_partitions: int = 32,
             i += len(urls)
             yield out
 
-    local = ranged.mapInPandas(attach_local_rank, "url string, _pid int, _idx long").cache()
-    counts = {r["_pid"]: r["cnt"] for r in
-              local.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
-    offsets, acc = {}, start_id
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    spark = pages.sparkSession
-    off_df = F.broadcast(
-        spark.createDataFrame(
-            [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _offset long"
-        )
+    local = ranged.mapInPandas(attach_local_rank, "url string, _pid int, _idx long")
+    # per-partition offsets as a LAZY 128-row plan instead of a driver
+    # collect: prefix-sum via a window over the (tiny) counts, broadcast
+    # back into the rank join. The whole docID assignment then costs the
+    # caller ZERO extra Spark actions — it evaluates inside whatever job
+    # first consumes the map (the staging write), and the range-shuffle
+    # exchange is reused between the counts branch and the join branch
+    # (ReusedExchange; only the cheap post-shuffle rank pass runs twice).
+    # Every removed action is serial driver time on the build's Amdahl
+    # floor — the scaling gate's currency.
+    from pyspark.sql import Window
+
+    counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_pid",
+        (F.coalesce(F.sum("_cnt").over(w), F.lit(0)) + F.lit(start_id))
+        .cast("long").alias("_offset"),
     )
     out = (
-        local.join(off_df, "_pid")
+        local.join(F.broadcast(offsets), "_pid")
         .select("url", (F.col("_offset") + F.col("_idx")).cast("long").alias("doc_id"))
     )
     if materialize_path is not None:
-        # write once, release the in-memory cache, hand back the on-disk
-        # map — long-lived builds must not pin executor storage memory
         out.write.mode("overwrite").parquet(materialize_path)
-        local.unpersist()
-        return spark.read.parquet(materialize_path)
-    # expose the cache handle so callers can unpersist once they have
-    # materialized downstream (build_full_index releases it after staging)
-    out._cached_deps = [local]
+        return pages.sparkSession.read.parquet(materialize_path)
     return out
 
 
