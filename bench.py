@@ -352,22 +352,35 @@ def spawn_level(cores: int, corpus: str, with_queries: bool) -> dict:
     """Run one level in a fresh JVM while sampling the HOST's busy share
     every 5 s — the record carries the interference evidence (our own
     16-thread 4N level accounts for <=0.5 busy on 32 cores; anything
-    above it is neighbors)."""
+    above it is neighbors).
+
+    Child stdout/stderr go to FILES, not pipes: a child that emits more
+    than the ~64 KB pipe buffer (Spark task-failure stack traces, executor
+    warnings before setLogLevel lands) would block on write and hang the
+    level until the timeout — and the old kill path raised without ever
+    reading stderr, losing the one diagnostic that mattered."""
     env = os.environ | {"PYTHONPATH": os.path.dirname(os.path.abspath(__file__))}
     args = [sys.executable, os.path.abspath(__file__), "--level", str(cores), corpus]
     if with_queries:
         args.append("--queries")
-    proc = subprocess.Popen(args, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
-                            text=True, env=env)
-    busy_samples: list[float] = []
-    t0 = time.monotonic()
-    while proc.poll() is None:
-        busy_samples.append(cpu_busy_frac(1.0))
-        if time.monotonic() - t0 > 1800:
-            proc.kill()
-            raise RuntimeError(f"level {cores} timed out")
-        time.sleep(4)
-    out, err = proc.communicate()
+    logdir = f"{SHM}/levellogs"
+    os.makedirs(logdir, exist_ok=True)
+    out_path = tempfile.mktemp(prefix=f"lvl{cores}-", suffix=".out", dir=logdir)
+    err_path = out_path[:-4] + ".err"
+    with open(out_path, "w") as out_f, open(err_path, "w") as err_f:
+        proc = subprocess.Popen(args, stdout=out_f, stderr=err_f, text=True, env=env)
+        busy_samples: list[float] = []
+        t0 = time.monotonic()
+        while proc.poll() is None:
+            busy_samples.append(cpu_busy_frac(1.0))
+            if time.monotonic() - t0 > 1800:
+                proc.kill()
+                proc.wait()
+                err_tail = open(err_path).read()[-2000:]
+                raise RuntimeError(
+                    f"level {cores} timed out after 1800s; stderr tail: {err_tail}")
+            time.sleep(4)
+    out = open(out_path).read()
     for line in out.splitlines():
         if line.startswith("LEVEL "):
             rec = json.loads(line[len("LEVEL "):])
@@ -375,10 +388,26 @@ def spawn_level(cores: int, corpus: str, with_queries: bool) -> dict:
                 rec["host_busy_mean"] = round(sum(busy_samples) / len(busy_samples), 3)
                 rec["host_busy_max"] = round(max(busy_samples), 3)
             return rec
-    raise RuntimeError(f"level {cores} failed: {err[-2000:]}")
+    raise RuntimeError(f"level {cores} failed: {open(err_path).read()[-2000:]}")
 
 
 # ------------------------------------------------------------------ main
+
+def budget_cut_decision(elapsed: float, pairs_done: int,
+                        budget: float) -> tuple[bool, float, float]:
+    """Whole-pair budget arithmetic, isolated so it is unit-testable.
+
+    Returns (cut, avg_pair_sec, projected_sec): cut is True when starting
+    one more pair — projected at the measured average pair duration —
+    would overrun the budget. With zero completed pairs there is nothing
+    to project from, so the first pair always runs (the plan is fixed up
+    front; a budget too small for even one pair is a configuration error
+    we surface by running it anyway and overrunning visibly)."""
+    if pairs_done == 0:
+        return False, 0.0, elapsed
+    avg = elapsed / pairs_done
+    return elapsed + avg > budget, avg, elapsed + avg
+
 
 def time_queries(spark) -> dict[str, float]:
     import __spark_entry__ as em
@@ -440,15 +469,22 @@ def main() -> None:
     queried_once = False
     for i, order in enumerate(PAIR_PLAN):
         elapsed = time.monotonic() - bench_t0
-        if i > 0 and pairs:
-            avg_pair = elapsed / len(pairs)
-            if elapsed + avg_pair > budget:
-                dropped_pairs = len(PAIR_PLAN) - i
-                print(f"[bench] WALL BUDGET — dropping {dropped_pairs} of "
-                      f"{len(PAIR_PLAN)} planned pairs (completed {i}; "
-                      f"avg pair {avg_pair:.0f}s, elapsed {elapsed:.0f}s)",
-                      file=sys.stderr, flush=True)
-                break
+        cut, avg_pair, projected = budget_cut_decision(elapsed, len(pairs), budget)
+        if pairs:
+            # projected-vs-actual log so a future corpus bump can't
+            # silently halve the sample count: the cut math is visible
+            # before every pair, not only when it fires
+            print(f"[bench] budget check before pair {i + 1}: elapsed "
+                  f"{elapsed:.0f}s, avg pair {avg_pair:.0f}s, projected "
+                  f"{projected:.0f}s vs budget {budget:.0f}s",
+                  file=sys.stderr, flush=True)
+        if cut:
+            dropped_pairs = len(PAIR_PLAN) - i
+            print(f"[bench] WALL BUDGET — dropping {dropped_pairs} of "
+                  f"{len(PAIR_PLAN)} planned pairs (completed {i}; "
+                  f"avg pair {avg_pair:.0f}s, elapsed {elapsed:.0f}s)",
+                  file=sys.stderr, flush=True)
+            break
         # gate the PAIR start; never wait between the levels of a pair
         busy_now = wait_for_quiet(threshold=quiet_busy, max_wait_sec=quiet_wait)
         pair: dict = {"order": list(order), "host_busy_at_start": busy_now,
@@ -478,6 +514,15 @@ def main() -> None:
         hi_r = pair["runs"][str(SCALING_4N)]
         pair["efficiency"] = round(
             (hi_r["docs_per_sec"] / lo_r["docs_per_sec"]) / 4.0, 3)
+        # symmetric companion ratio: FIRST 4N run vs the single N run —
+        # no one-sided best-of selection on either level. The best-of-two
+        # 4N headline rejects scheduling-noise tails but only in the
+        # direction that favors the gated metric; shipping the symmetric
+        # ratio alongside makes the size of that selection effect legible
+        # in the artifact itself.
+        first4 = pair["runs_4n_all"][0]
+        pair["efficiency_symmetric"] = round(
+            (first4["docs_per_sec"] / lo_r["docs_per_sec"]) / 4.0, 3)
         hw = pair["hw_parallel_scaling"]
         pair["efficiency_hw_normalized"] = round(
             min(1.0, pair["efficiency"] / hw), 3) if hw and hw > 0 else None
@@ -505,7 +550,9 @@ def main() -> None:
     load_end = loadavg()
     shutil.rmtree(SHM, ignore_errors=True)
     total = round(sum(queries_sec.values()) + hi["build_sec"] + qrun.get("query_batch_sec", 0.0), 2)
-    print(json.dumps({
+    sym_effs = [p["efficiency_symmetric"] for p in pairs
+                if p.get("efficiency_symmetric") is not None]
+    headline = {
         "metric": "index-build docs/sec + BM25 topk latency + scaling efficiency",
         "value": total,
         "unit": "sec",
@@ -514,18 +561,32 @@ def main() -> None:
         "bench_docs": BENCH_DOCS,
         "index_build_docs_per_sec": hi["docs_per_sec"],
         "sec_per_query": qrun.get("sec_per_query"),
-        "scaling": {f"local[{SCALING_N}]": lo, f"local[{SCALING_4N}]": hi,
-                    "pair_plan": PAIR_PLAN, "pairs": pairs,
-                    "pair_efficiencies": effs,
-                    "dropped_pairs": dropped_pairs,
-                    "best_pair_efficiency": max(effs) if effs else None,
-                    "hw_parallel_scaling_median": round(_median(hw_ceilings), 3) if hw_ceilings else None},
         "scaling_efficiency": round(eff_median, 3),
         "scaling_efficiency_best_pair": round(max(effs), 3) if effs else None,
+        "scaling_efficiency_symmetric": round(_median(sym_effs), 3) if sym_effs else None,
         "scaling_efficiency_hw_normalized": round(_median(norm_effs), 3) if norm_effs else None,
+        "pair_efficiencies": effs,
+        "dropped_pairs": dropped_pairs,
+        "hw_parallel_scaling_median": round(_median(hw_ceilings), 3) if hw_ceilings else None,
+        "host_busy_query_phase": q_load,
+        "detail": "BENCH/last_run_full.json",
+    }
+    detail = headline | {
+        "scaling": {f"local[{SCALING_N}]": lo, f"local[{SCALING_4N}]": hi,
+                    "pair_plan": PAIR_PLAN, "pairs": pairs},
         "host_loadavg": {"start": load_start, "end": load_end,
                          "query_phase_busy_then_loadavg": [q_load, q_load_end]},
-    }))
+    }
+    # the driver keeps only the final ~2000 chars of stdout, so the per-
+    # pair detail (~10 KB in round 3 — which decapitated BENCH_r03.json
+    # into parsed:null) goes to a FILE plus an EARLY stdout line, and the
+    # FINAL line is the compact headline the driver actually parses.
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    os.makedirs(bench_dir, exist_ok=True)
+    with open(os.path.join(bench_dir, "last_run_full.json"), "w") as f:
+        json.dump(detail, f, indent=1)
+    print("FULL " + json.dumps(detail), flush=True)
+    print(json.dumps(headline))
 
 
 if __name__ == "__main__":
