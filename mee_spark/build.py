@@ -91,9 +91,14 @@ def build_full_index(
 
     obs = Observation("corpus_stats")
     docs_plan.observe(obs, F.count(F.lit(1)).alias("n"),
-                      F.sum("dl").alias("sum_dl")).write.mode("overwrite").parquet(staging)
+                      F.sum("dl").alias("sum_dl"),
+                      F.max("doc_id").alias("max_id")).write.mode("overwrite").parquet(staging)
     n_docs = int(obs.get["n"])
     sum_dl = int(obs.get["sum_dl"] or 0)
+    # the NEXT fresh docID, recorded in the manifest so incremental builds
+    # can append without re-scanning the live docmap for max(doc_id)
+    max_id = obs.get["max_id"]
+    next_doc_id = int(max_id) + 1 if max_id is not None else 0
     docs = spark.read.parquet(staging)
 
     # docmap write and segment build are independent reads of the staging
@@ -137,7 +142,7 @@ def build_full_index(
             "partitions": part_metrics,
         },
         lineage=lineage or {},
-        extra={"config": layout_record(cfg)},
+        extra={"config": layout_record(cfg), "next_doc_id": next_doc_id},
     )
     if publish:
         mf.publish(index_dir, gen)
@@ -206,10 +211,18 @@ def build_incremental(
         & (F.col("text_hash") != F.col("old_hash"))
     )
 
-    max_id = prev.agg(F.max("doc_id")).collect()[0][0]
-    # a fully-deleted parent generation has no live docs: max() is NULL and
-    # fresh ids restart at 0 (nothing live to collide with)
-    start_id = int(max_id) + 1 if max_id is not None else 0
+    # next fresh docID comes from the manifest chain — the newest manifest
+    # records next_doc_id as of its own build, so no Spark job is spent
+    # re-deriving max(doc_id) from the live docmap (that aggregate was a
+    # whole serial job on the incremental path's Amdahl floor). Fallback
+    # scan only for chains written before the field existed. IDs are
+    # monotone across the chain and never recycled, even after mass
+    # deletions — last-writer-wins masks compare generations, and a gap in
+    # the id space costs nothing.
+    start_id = chain[-1].get("next_doc_id")
+    if start_id is None:
+        max_id = prev.agg(F.max("doc_id")).collect()[0][0]
+        start_id = int(max_id) + 1 if max_id is not None else 0
     added_ids = assign_doc_ids(added.select(F.col("url")), cfg.num_doc_partitions,
                                start_id=start_id)
     from mee_spark.textprep import tokenize_col
@@ -233,8 +246,15 @@ def build_incremental(
     _staging = os.path.join(mf.gen_dir(index_dir, gen), "_docs_staging.parquet")
     obs = Observation("delta_stats")
     delta_plan.observe(obs, F.count(F.lit(1)).alias("n"),
-                       F.sum("dl").alias("s")).write.mode("overwrite").parquet(_staging)
+                       F.sum("dl").alias("s"),
+                       F.max("doc_id").alias("m")).write.mode("overwrite").parquet(_staging)
     n_delta, dl_delta = int(obs.get["n"]), int(obs.get["s"] or 0)
+    # advance the chain's next_doc_id watermark: a delete-only or
+    # changed-only delta allocates nothing, so the watermark never moves
+    # backwards
+    obs_max = obs.get["m"]
+    next_doc_id = max(int(start_id),
+                      int(obs_max) + 1 if obs_max is not None else 0)
     delta_docs = spark.read.parquet(_staging)
 
     # corpus stats delta (exact): N' = N + added − deleted; Σdl' likewise,
@@ -279,7 +299,8 @@ def build_incremental(
             "partitions": part_metrics,
         },
         lineage=lineage or {},
-        extra={"has_tombstones": True, "config": layout_record(cfg)},
+        extra={"has_tombstones": True, "config": layout_record(cfg),
+               "next_doc_id": next_doc_id},
     )
     if publish:
         mf.publish(index_dir, gen)

@@ -125,11 +125,23 @@ def build_docs(pages: DataFrame, cfg: IndexConfig,
     Extraction is the vectorized Arrow UDF (byte-identical per url);
     tokenization stays JVM-side. When ``use_html`` is False the ``text``
     column is trusted directly (e.g. for corpora without html).
+
+    When ``docmap`` is None, the assignment is pinned with a LAZY
+    localCheckpoint: assign_doc_ids has evaluate-once semantics (its
+    offsets and ranks are two evaluations of one mapInPandas plan, kept
+    consistent by exchange reuse), but this public convenience path makes
+    no promise about how many actions the caller runs — without the pin,
+    a second action over a non-deterministic source could observe
+    duplicate or skipped doc_ids with no error. The builders bypass this
+    (they stage the assignment to parquet inside their one staging job);
+    callers who need maximal job fusion should pass a ``docmap`` they
+    materialized themselves.
     """
     if cfg.lang_filter:
         pages = pages.filter(F.col("lang") == cfg.lang_filter)
     if docmap is None:
-        docmap = assign_doc_ids(pages, cfg.num_doc_partitions)
+        docmap = assign_doc_ids(pages, cfg.num_doc_partitions).localCheckpoint(
+            eager=False)
     text_col = extract_text(F.col("html")) if use_html else F.col("text")
     docs = (
         pages.select("url", text_col.alias("_text"))

@@ -57,6 +57,12 @@ from mee_spark.wand import (
 
 _LOCAL_SCHEMA = "query_id int, k int, doc_id long, score double"
 
+# query batches past this size keep their vocabulary IN THE PLAN (df and
+# per-query term counts joined in as columns) instead of driver dicts:
+# the dict path collects one entry per distinct term, which is fine for
+# interactive batches but unbounded for 10^5-query offline batches
+VOCAB_IN_PLAN_THRESHOLD = 2048
+
 
 def _term_buckets(spark: SparkSession, terms: list[str], num_buckets: int) -> list[int]:
     """Bucket ids for the query terms — same expression as the writer."""
@@ -105,11 +111,12 @@ def _dead_ids(row, gen: int) -> np.ndarray | None:
     return dead if len(dead) else None
 
 
-def _make_scorer(df_map: dict, n_docs: int, avgdl: float,
+def _make_scorer(df_map: dict | None, n_docs: int, avgdl: float,
                  k1: float, b: float, use_block_max: bool,
                  wand_min_postings: int = 1 << 16,
                  round_to: int | None = None,
-                 n_terms_map: dict | None = None):
+                 n_terms_map: dict | None = None,
+                 conjunctive: bool = False):
     """Scorer for one docID range, ALL queries at once.
 
     Grouping by range (not (query, range)) turns q·ranges tiny Arrow
@@ -117,7 +124,12 @@ def _make_scorer(df_map: dict, n_docs: int, avgdl: float,
     lets each (term, gen) posting row be DECODED ONCE and shared by every
     query containing the term (head terms appear in many queries).
     TermCursor traversal state is per-query, so cursors are rebuilt
-    cheaply from the shared decoded arrays."""
+    cheaply from the shared decoded arrays.
+
+    Vocabulary transport is dual-mode: small batches pass df/n_terms as
+    broadcast driver dicts (``df_map``/``n_terms_map``); large batches
+    (vocab_in_plan) ship them as the ``df`` / ``_n_terms`` COLUMNS of the
+    group itself, so nothing vocabulary-sized ever crosses the driver."""
 
     def score_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
         decoded: dict[tuple, tuple | None] = {}
@@ -132,14 +144,18 @@ def _make_scorer(df_map: dict, n_docs: int, avgdl: float,
             if len(docs) == 0:
                 decoded[(row.term, gen)] = None
                 continue
-            idf = idf_np(float(df_map[row.term]), n_docs)
+            df_val = df_map[row.term] if df_map is not None else row.df
+            idf = idf_np(float(df_val), n_docs)
             decoded[(row.term, gen)] = (
                 docs, tfs, dls, idf,
                 np.asarray(row.block_last_doc), np.asarray(row.block_max_tf),
                 np.asarray(row.block_min_dl),
             )
         out = []
-        qmeta = pdf[["query_id", "k", "term", "gen"]]
+        qcols = ["query_id", "k", "term", "gen"]
+        if conjunctive and n_terms_map is None:
+            qcols.append("_n_terms")
+        qmeta = pdf[qcols]
         for qid, sub in qmeta.groupby("query_id", sort=True):
             k = int(sub["k"].iloc[0])
             cursors = []
@@ -161,9 +177,10 @@ def _make_scorer(df_map: dict, n_docs: int, avgdl: float,
             # the doc_id tie-break globally. Conjunctive (AND) mode keeps
             # only docs matched by every query term (see
             # wand.conjunctive_topk_vec).
-            if n_terms_map is not None:
-                top = conjunctive_topk_vec(cursors, k,
-                                           n_terms_map[int(qid)], round_to)
+            if conjunctive:
+                n_terms = (n_terms_map[int(qid)] if n_terms_map is not None
+                           else int(sub["_n_terms"].iloc[0]))
+                top = conjunctive_topk_vec(cursors, k, n_terms, round_to)
             elif sum(c.n for c in cursors) < wand_min_postings:
                 top = exhaustive_topk_vec(cursors, k, round_to=round_to)
             else:
@@ -192,13 +209,21 @@ def bm25_topk_wand(
     round_digits: int | None = 6,
     use_block_max: bool = True,
     conjunctive: bool = False,
+    vocab_in_plan: bool | None = None,
 ) -> DataFrame:
     """-> (query_id, rank, doc_id, score): per-query top-k over the
     published index (or ``gen``'s chain). ``queries`` needs
     (query_id, query_text, k). ``conjunctive``: AND semantics — only docs
     containing every query term rank (docID-range partitioning co-locates
     a doc's postings, so the intersection is evaluated per range with no
-    extra movement)."""
+    extra movement).
+
+    ``vocab_in_plan``: for very large query batches (10^4+), keep the
+    vocabulary in the plan — per-term df and per-query term counts are
+    joined in as columns, term pruning is a broadcast semi-join, and the
+    only driver-side collect is the bucket-id list (bounded by
+    cfg.num_term_buckets regardless of batch size). None = auto by a
+    bounded LIMIT-probe against VOCAB_IN_PLAN_THRESHOLD."""
     chain = mf.manifest_chain(index_dir, gen)
     if not chain:
         raise ValueError(f"no published index at {index_dir}")
@@ -214,16 +239,42 @@ def bm25_topk_wand(
     avgdl = chain[-1]["avgdl"]
 
     qterms = explode_query_terms(queries)  # (query_id, k, term)
-    terms = [r["term"] for r in qterms.select("term").distinct().collect()]
-    if not terms:
-        return spark.createDataFrame([], "query_id int, rank long, doc_id long, score double")
-    buckets = _term_buckets(spark, terms, cfg.num_term_buckets)
+    if vocab_in_plan is None:
+        # bounded probe: LIMIT caps the action's cost at threshold+1 rows
+        # however large the batch is
+        vocab_in_plan = (queries.select("query_id")
+                         .limit(VOCAB_IN_PLAN_THRESHOLD + 1)
+                         .count() > VOCAB_IN_PLAN_THRESHOLD)
+
+    if vocab_in_plan:
+        # the only driver-side list is the bucket ids — bounded by
+        # cfg.num_term_buckets no matter how large the vocabulary is
+        vocab = qterms.select("term").distinct()
+        buckets = sorted(r["b"] for r in vocab.select(
+            F.pmod(F.xxhash64("term"), F.lit(cfg.num_term_buckets))
+            .cast("long").alias("b")).distinct().collect())
+        if not buckets:
+            return spark.createDataFrame(
+                [], "query_id int, rank long, doc_id long, score double")
+        # term pruning by broadcast semi-join instead of a 10^5-literal
+        # isin: the scan still prunes whole bucket directories; within a
+        # bucket the join filters (a giant IN list would bloat the plan
+        # and push poorly anyway)
+        segs = read_segments(spark, index_dir, gens).filter(
+            F.col("bucket").isin(buckets)).join(
+            F.broadcast(vocab), "term", "semi")
+    else:
+        terms = [r["term"] for r in qterms.select("term").distinct().collect()]
+        if not terms:
+            return spark.createDataFrame(
+                [], "query_id int, rank long, doc_id long, score double")
+        buckets = _term_buckets(spark, terms, cfg.num_term_buckets)
+        segs = read_segments(spark, index_dir, gens).filter(
+            F.col("bucket").isin(buckets) & F.col("term").isin(terms))
 
     # cached: the pruned scan (query terms only — tiny next to the index)
     # feeds both the df aggregation and the scoring join. Tombstones join
     # in per docID range BEFORE the cache so both consumers see them.
-    segs = read_segments(spark, index_dir, gens).filter(
-        F.col("bucket").isin(buckets) & F.col("term").isin(terms))
     tombs = tombstones_per_range(spark, index_dir, gens, cfg.doc_range_size)
     if tombs is not None:
         segs = segs.join(tombs, "range_id", "left")
@@ -242,13 +293,31 @@ def bm25_topk_wand(
                         counts.append((row.term, n))
                     yield pd.DataFrame(counts, columns=["term", "live"])
 
-            df_rows = (
-                segs.mapInPandas(live_counts, "term string, live long")
-                .groupBy("term").agg(F.sum("live").alias("df")).collect()
-            )
+            df_agg = (segs.mapInPandas(live_counts, "term string, live long")
+                      .groupBy("term").agg(F.sum("live").alias("df")))
         else:
-            df_rows = segs.groupBy("term").agg(F.sum("df_local").alias("df")).collect()
-        df_map = {r["term"]: int(r["df"]) for r in df_rows}
+            df_agg = segs.groupBy("term").agg(F.sum("df_local").alias("df"))
+        if vocab_in_plan:
+            # df stays a COLUMN: the per-term aggregate (query vocabulary
+            # only — tiny next to the index) broadcast-joins back onto the
+            # cached pruned scan; nothing vocabulary-sized reaches the driver
+            df_map = None
+            segs_q = segs.join(F.broadcast(df_agg), "term")
+        else:
+            df_map = {r["term"]: int(r["df"]) for r in df_agg.collect()}
+            segs_q = segs
+
+        qt = qterms
+        n_terms_map = None
+        if conjunctive:
+            if vocab_in_plan:
+                qt = qterms.join(
+                    qterms.groupBy("query_id").agg(
+                        F.count("*").alias("_n_terms")), "query_id")
+            else:
+                n_terms_map = {int(r["query_id"]): int(r["n"]) for r in
+                               qterms.groupBy("query_id").agg(
+                                   F.count("*").alias("n")).collect()}
 
         # parallelism = ranges x query-shards: sharding the query batch keeps
         # big batches parallel even over few ranges, while queries within a
@@ -258,17 +327,13 @@ def bm25_topk_wand(
         # serial driver time on the query-latency floor)
         n_qshards = 8
         joined = (
-            segs.join(F.broadcast(qterms), "term")
+            segs_q.join(F.broadcast(qt), "term")
             .withColumn("_qshard", F.pmod(F.col("query_id"), F.lit(n_qshards)))
         )
-        n_terms_map = None
-        if conjunctive:
-            n_terms_map = {int(r["query_id"]): int(r["n"]) for r in
-                           qterms.groupBy("query_id").agg(
-                               F.count("*").alias("n")).collect()}
         scorer = _make_scorer(df_map, n_docs, avgdl, cfg.k1, cfg.b,
                               use_block_max, cfg.wand_min_postings,
-                              round_to=round_digits, n_terms_map=n_terms_map)
+                              round_to=round_digits, n_terms_map=n_terms_map,
+                              conjunctive=conjunctive)
         local = joined.groupBy("range_id", "_qshard").applyInPandas(scorer, _LOCAL_SCHEMA)
         # materialize the per-range candidates (≤ k·ranges·qshards rows,
         # distributed) so the cached pruned scan can be released NOW —

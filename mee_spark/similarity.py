@@ -121,10 +121,20 @@ def lsh_bucket_udf_col(vec: Column, planes: np.ndarray) -> Column:
 
     @pandas_udf(LongType())
     def bucket(col: pd.Series) -> pd.Series:
-        m = np.stack(col.to_numpy()).astype(np.float64)
-        bits = (m @ P.T) > 0
-        ids = (bits.astype(np.uint64) * weights).sum(axis=1, dtype=np.uint64)
-        return pd.Series(ids.view(np.int64))
+        # degenerate-input parity with the fold form: an empty Arrow batch
+        # yields an empty series (np.stack([]) would raise ValueError) and
+        # null embeddings bucket to 0 (the fold's when/otherwise null
+        # behavior) instead of TypeError-ing the whole batch
+        if len(col) == 0:
+            return pd.Series(np.empty(0, dtype=np.int64))
+        isnull = col.isna().to_numpy()
+        out = np.zeros(len(col), dtype=np.int64)
+        if not isnull.all():
+            m = np.stack(col[~isnull].to_numpy()).astype(np.float64)
+            bits = (m @ P.T) > 0
+            ids = (bits.astype(np.uint64) * weights).sum(axis=1, dtype=np.uint64)
+            out[~isnull] = ids.view(np.int64)
+        return pd.Series(out)
 
     return bucket(vec)
 

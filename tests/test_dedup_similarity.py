@@ -249,3 +249,29 @@ def test_wide_plane_lsh_switches_to_arrow_matmul(spark):
     # end-to-end 64-plane query runs (top-bit masks are valid int64)
     real = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     assert ann_lsh_topk(real, [1, 2], k=5, n_planes=64).count() >= 0
+
+
+def test_lsh_udf_degenerate_inputs_match_fold(spark):
+    """ADVICE r3 (similarity.py): the Arrow form must not change failure
+    behavior vs the fold on degenerate input — empty batches yield empty
+    output (np.stack on [] raised ValueError before) and null embeddings
+    bucket to 0, the fold's when/otherwise null result."""
+    import numpy as np
+
+    from mee_spark.similarity import lsh_bucket_col, lsh_bucket_udf_col
+
+    rng = np.random.default_rng(3)
+    planes = rng.integers(-3, 4, size=(8, 4)).astype(np.float64)
+    rows = [(0, [1.0, -2.0, 3.0, 0.5]), (1, None), (2, [0.0, 0.0, 0.0, 0.0]),
+            (3, None), (4, [-1.0, 4.0, -2.0, 1.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    fold = {r["vec_id"]: r["b"] for r in emb.select(
+        "vec_id", lsh_bucket_col(F.col("embedding"), planes).alias("b")).collect()}
+    udf = {r["vec_id"]: r["b"] for r in emb.select(
+        "vec_id", lsh_bucket_udf_col(F.col("embedding"), planes).alias("b")).collect()}
+    assert fold == udf
+    assert udf[1] == 0 and udf[3] == 0
+    # empty input (a filter that drops every row -> empty Arrow batches)
+    empty = emb.filter("vec_id < 0").select(
+        lsh_bucket_udf_col(F.col("embedding"), planes).alias("b"))
+    assert empty.count() == 0

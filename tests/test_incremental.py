@@ -133,3 +133,59 @@ def test_deleted_docs_disappear_from_results(spark, snaps, tmp_path_factory):
     id_to_url = {r["doc_id"]: r["url"] for r in docmap.collect()}
     for r in res.collect():
         assert id_to_url[r["doc_id"]] not in gone
+
+
+def test_docid_watermark_from_manifest(spark, snaps, tmp_path_factory):
+    """The manifest chain carries next_doc_id (the fresh-ID watermark) so
+    build_incremental appends without a max(doc_id) scan of the live
+    docmap; IDs are monotone across the chain and never collide, and a
+    pre-watermark manifest (field absent) falls back to the scan."""
+    import json
+
+    d = str(tmp_path_factory.mktemp("wmark"))
+    m1 = build_full_index(spark, snaps[1], CFG, d, gen=1)
+    # full build: watermark = number of assigned docs (ids are 0..n-1)
+    n1 = spark.read.parquet(f"{d}/gen=1/docmap.parquet").count()
+    assert m1["next_doc_id"] == n1
+
+    m2 = build_incremental(spark, snaps[2], CFG, d, gen=2)
+    added2 = m2["metrics"]["docs_added"]
+    assert m2["next_doc_id"] == n1 + added2
+    # every freshly assigned id in gen 2 sits at/above gen 1's watermark
+    dm2 = spark.read.parquet(f"{d}/gen=2/docmap.parquet")
+    fresh2 = dm2.filter(f"doc_id >= {n1}").count()
+    assert fresh2 == added2
+    assert dm2.agg({"doc_id": "max"}).collect()[0][0] == m2["next_doc_id"] - 1
+
+    # fallback: strip the field from the newest manifest -> the scan path
+    # must produce the same watermark-respecting assignment
+    mp = mf.manifest_path(d, 2)
+    rec = json.load(open(mp))
+    del rec["next_doc_id"]
+    json.dump(rec, open(mp, "w"))
+    m3 = build_incremental(spark, snaps[3], CFG, d, gen=3)
+    dm3_max = spark.read.parquet(f"{d}/gen=3/docmap.parquet").agg(
+        {"doc_id": "max"}).collect()[0][0]
+    assert m3["next_doc_id"] >= m2["next_doc_id"] - 1
+    if m3["metrics"]["docs_added"]:
+        assert dm3_max == m3["next_doc_id"] - 1
+    # no duplicate ids anywhere in the chain's union of fresh assignments
+    ids1 = {r[0] for r in spark.read.parquet(f"{d}/gen=1/docmap.parquet")
+            .select("doc_id").collect()}
+    fresh_ids2 = {r[0] for r in dm2.filter(f"doc_id >= {n1}")
+                  .select("doc_id").collect()}
+    assert not (ids1 & fresh_ids2)
+
+
+def test_vocab_in_plan_with_tombstones(spark, snaps, tmp_path_factory):
+    """Plan-mode vocabulary transport must agree with the dict path on a
+    chain that exercises the live-df decode (tombstones present)."""
+    d = str(tmp_path_factory.mktemp("vplan"))
+    build_full_index(spark, snaps[2], CFG, d, gen=1)
+    build_incremental(spark, snaps[3], CFG, d, gen=2)
+    queries = gen_queries(spark, N_QUERIES)
+    a = bm25_topk_wand(spark, d, queries, CFG, vocab_in_plan=False).collect()
+    b = bm25_topk_wand(spark, d, queries, CFG, vocab_in_plan=True).collect()
+    key = lambda r: (r["query_id"], r["rank"])
+    assert sorted([tuple(r) for r in a], key=lambda t: (t[0], t[1])) == \
+           sorted([tuple(r) for r in b], key=lambda t: (t[0], t[1]))

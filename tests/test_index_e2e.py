@@ -122,3 +122,31 @@ def test_resume_from_checkpoint(built, spark, tmp_path):
     assert {f: os.path.getmtime(f) for f in survivors} == mtimes_before
     res = bm25_topk_wand(spark, index_dir, built["queries"], CFG)
     assert collect_ranked(res)  # non-empty and consistent
+
+
+def test_vocab_in_plan_matches_dict_path(built, spark):
+    """Large-batch mode (df + per-query term counts as plan columns, term
+    pruning by broadcast semi-join, bucket list as the only driver
+    collect) must be result-identical to the small-batch dict path, in
+    both disjunctive and conjunctive modes."""
+    for conj in (False, True):
+        dict_res = collect_ranked(bm25_topk_wand(
+            spark, built["index_dir"], built["queries"], CFG,
+            conjunctive=conj, vocab_in_plan=False))
+        plan_res = collect_ranked(bm25_topk_wand(
+            spark, built["index_dir"], built["queries"], CFG,
+            conjunctive=conj, vocab_in_plan=True))
+        assert dict_res == plan_res, f"conjunctive={conj}"
+
+
+def test_vocab_in_plan_auto_dispatch(built, spark, monkeypatch):
+    """The auto probe (bounded LIMIT count) flips to plan mode past the
+    threshold; results stay identical either way."""
+    import mee_spark.query_wand as qw
+
+    baseline = collect_ranked(bm25_topk_wand(
+        spark, built["index_dir"], built["queries"], CFG, vocab_in_plan=False))
+    monkeypatch.setattr(qw, "VOCAB_IN_PLAN_THRESHOLD", 5)
+    auto = collect_ranked(bm25_topk_wand(
+        spark, built["index_dir"], built["queries"], CFG))
+    assert auto == baseline
