@@ -894,6 +894,76 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_fulltext_bm25_topk(spark, "/root/testdata/sf0.001")
 
 
+# ------------------------------------------------------------- streaming
+# §2.8 driver gate (VERDICT r3 #6): the streaming operators were pytest-
+# only; these entries run the REAL Structured Streaming plans (file
+# source → operator → memory sink, availableNow trigger) and return the
+# settled sink table, so the stateful dedup and the watermarked windowed
+# aggregation carry the same rows+schema+hash oracle evidence as every
+# batch operator. Both outputs are batch-order invariant by construction
+# (an exactly-once url SET; complete-mode window totals), which is what
+# makes a streaming run hash-comparable to declarative SQL.
+
+
+def q_stream_windowed_counts(spark, sf_dir):
+    """mee_spark.streaming.windowed_counts over a streamed events table:
+    tumbling 1-hour event-time windows per event_type, complete-mode
+    totals (equal to the batch aggregation of the same input)."""
+    import tempfile
+    import uuid
+
+    from mee_spark.streaming import windowed_counts
+
+    # the file stream source requires a DIRECTORY; stage the driver's
+    # single parquet file into one
+    stage = tempfile.mkdtemp(prefix="stream_wc_src_")
+    _read(spark, sf_dir, "events").write.mode("overwrite").parquet(stage)
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    src = spark.readStream.schema(schema).parquet(stage)
+    counts = windowed_counts(src, "ts", "event_type",
+                             window="1 hour", watermark="2 hours")
+    name = "stream_wc_" + uuid.uuid4().hex[:8]
+    q = (counts.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name).select(
+        "window_start", "event_type", F.col("n").cast("long").alias("n"))
+
+
+def q_stream_dedup_urls(spark, sf_dir):
+    """mee_spark.streaming.stateful_url_dedup (applyInPandasWithState)
+    over a 4-micro-batch stream of duplicate-heavy synthetic urls built
+    from the documents table; the emitted url SET is exactly-once across
+    batches regardless of batch order — the oracle is DISTINCT."""
+    import tempfile
+    import uuid
+
+    from mee_spark.streaming import stateful_url_dedup
+
+    # stage the single driver parquet into 4 files so maxFilesPerTrigger=1
+    # yields 4 micro-batches — the cross-batch state path runs for real
+    stage = tempfile.mkdtemp(prefix="stream_dedup_src_")
+    _read(spark, sf_dir, "documents").repartition(4).write.mode(
+        "overwrite").parquet(stage)
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    src = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", 1).parquet(stage))
+    pages = src.select(
+        F.concat(F.lit("doc://"), F.col("source"), F.lit("/"), F.col("lang"))
+        .alias("url"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.col("text").cast("binary").alias("html"),
+        F.col("text").alias("text"), F.col("lang").alias("lang"))
+    name = "stream_dd_" + uuid.uuid4().hex[:8]
+    q = (stateful_url_dedup(pages, mode="exact")
+         .select("url")
+         .writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name).select("url")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "fulltext_postings": q_fulltext_postings,
@@ -937,6 +1007,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_diff_lag": q_rel_diff_lag,
         "rel_date_arithmetic": q_rel_date_arithmetic,
         "rel_date_ranges": q_rel_date_ranges,
+        "stream_windowed_counts": q_stream_windowed_counts,
+        "stream_dedup_urls": q_stream_dedup_urls,
     }
 
 
@@ -1119,5 +1191,16 @@ WITH spans AS (SELECT user_id::BIGINT AS user_id,
 SELECT user_id,
        strftime(unnest(generate_series(d0, d1, INTERVAL 1 DAY)), '%Y-%m-%d') AS day
 FROM spans
+""",
+        # streaming gates: complete-mode tumbling totals == the batch
+        # window aggregation; exactly-once dedup output == DISTINCT
+        "stream_windowed_counts": """
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       count(*)::BIGINT AS n
+FROM events GROUP BY 1, 2
+""",
+        "stream_dedup_urls": """
+SELECT DISTINCT 'doc://' || source || '/' || lang AS url FROM documents
 """,
     }

@@ -9,10 +9,16 @@ Decode policy, honestly tiered:
     reshape), plus a real nearest-neighbor ``resize_image``. No external
     libraries needed, so the decode→feature→resize path executes genuine
     pixel work end to end.
+  * **PNG (8-bit gray/RGB/RGBA, non-interlaced) — REAL decode**, stdlib
+    ``zlib`` + numpy: chunk walk with CRC verification, inflate, and
+    genuine per-row un-filtering (None/Sub/Up/Average/Paeth per the PNG
+    spec §9); a matching real encoder (``encode_png``) exists for
+    round-trip provenance tests. Adam7 interlace and 16-bit depth raise
+    honestly.
   * **RIFF/WAVE (PCM16) audio — REAL decode**, stdlib ``wave``: genuine
     sample extraction, per-frame RMS, and a pure-numpy linear resampler
     (``decode_wav`` / ``audio_frames`` / ``resample_audio``).
-  * **Codec formats (JPEG/PNG/mp3/video) — STUBBED**: libjpeg/ffmpeg
+  * **Codec formats (JPEG/mp3/video) — STUBBED**: libjpeg/ffmpeg
     bindings are not in this container; ``decode_image`` raises
     NotImplementedError for them unless the deterministic fake is
     selected. The fake parses our synthetic header format so pipeline
@@ -109,6 +115,158 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     return np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos).reshape(h, w, 3)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(left: int, up: int, upleft: int) -> int:
+    """Paeth predictor (PNG spec §9.4) — scalar form used row-wise."""
+    p = left + up - upleft
+    pa, pb, pc = abs(p - left), abs(p - up), abs(p - upleft)
+    if pa <= pb and pa <= pc:
+        return left
+    return up if pb <= pc else upleft
+
+
+def encode_png(img: np.ndarray, row_filters: list[int] | None = None) -> bytes:
+    """REAL PNG encoder (8-bit RGB, non-interlaced), stdlib zlib + numpy.
+
+    ``row_filters`` forces a specific filter type per row (default all 0)
+    — the forward transforms of Sub/Up/Average/Paeth are applied for
+    real, which lets tests round-trip every filter path of the decoder
+    against independent pixel data."""
+    h, w = img.shape[:2]
+    img = np.ascontiguousarray(img.astype(np.uint8).reshape(h, w, 3))
+    filters = row_filters or [0] * h
+    nch = 3
+    lines = []
+    prior = np.zeros(w * nch, dtype=np.int64)
+    for y in range(h):
+        cur = img[y].reshape(-1).astype(np.int64)
+        f = filters[y]
+        left = np.concatenate((np.zeros(nch, dtype=np.int64), cur[:-nch]))
+        upleft = np.concatenate((np.zeros(nch, dtype=np.int64), prior[:-nch]))
+        if f == 0:
+            filt = cur
+        elif f == 1:
+            filt = cur - left
+        elif f == 2:
+            filt = cur - prior
+        elif f == 3:
+            filt = cur - (left + prior) // 2
+        elif f == 4:
+            pred = np.array([_paeth(int(a), int(b), int(c))
+                             for a, b, c in zip(left, prior, upleft)])
+            filt = cur - pred
+        else:
+            raise ValueError(f"unknown filter {f}")
+        lines.append(bytes([f]) + (filt & 0xFF).astype(np.uint8).tobytes())
+        prior = cur
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        import zlib
+
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+            + chunk(b"IEND", b""))
+
+
+def make_png_payload(media_id: int, w: int, h: int) -> bytes:
+    """REAL PNG bytes with deterministic (seeded) pixels — same pixel
+    contract as make_ppm_payload so provenance tests can cross-check."""
+    rng = np.random.default_rng(media_id)
+    pixels = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    # cycle through every filter type so stored corpora exercise the full
+    # un-filter surface of the decoder
+    return encode_png(pixels, row_filters=[y % 5 for y in range(h)])
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """REAL PNG decoder -> HxWx3 uint8, stdlib zlib + numpy un-filtering.
+
+    Supports 8-bit depth, color types 0 (grayscale, replicated to RGB),
+    2 (RGB) and 6 (RGBA — alpha dropped), non-interlaced; every chunk CRC
+    is verified. Sub is un-filtered as a vectorized per-channel cumsum;
+    Average/Paeth walk pixels left-to-right (inherently sequential) with
+    the channel vector done in numpy. 16-bit, palette and Adam7 raise
+    NotImplementedError — honestly, like the other codec gaps."""
+    import zlib
+
+    if not payload.startswith(_PNG_SIG):
+        raise ValueError("not a PNG payload")
+    pos, idat, hdr = 8, [], None
+    while pos + 12 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos:pos + 4])
+        typ = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        (crc,) = struct.unpack(">I", payload[pos + 8 + length:pos + 12 + length])
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {typ!r} chunk")
+        if typ == b"IHDR":
+            hdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + length
+    if hdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color, _comp, _filt, interlace = hdr
+    if depth != 8:
+        raise NotImplementedError(f"{depth}-bit PNG not supported (8-bit only)")
+    if interlace:
+        raise NotImplementedError("Adam7 interlaced PNG not supported")
+    if color not in (0, 2, 6):
+        raise NotImplementedError(f"PNG color type {color} (palette?) not supported")
+    nch = {0: 1, 2: 3, 6: 4}[color]
+    stride = w * nch
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    raw = raw.reshape(h, stride + 1)
+    filters, data = raw[:, 0], raw[:, 1:].astype(np.int64)
+    out = np.empty((h, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        f, cur = int(filters[y]), data[y]
+        if f == 0:
+            rec = cur
+        elif f == 1:
+            # Sub: rec[x] = cur[x] + rec[x-nch] (mod 256) == per-channel
+            # cumulative sum — fully vectorized
+            rec = np.cumsum(cur.reshape(w, nch), axis=0).reshape(-1)
+        elif f == 2:
+            rec = cur + prior
+        elif f in (3, 4):
+            rec = np.empty(stride, dtype=np.int64)
+            rec[:nch] = cur[:nch] + (prior[:nch] // 2 if f == 3 else prior[:nch])
+            for x in range(1, w):
+                s, e = x * nch, (x + 1) * nch
+                left = rec[s - nch:s] & 0xFF
+                up, ul = prior[s:e], prior[s - nch:s]
+                if f == 3:
+                    pred = (left + up) // 2
+                else:
+                    p = left + up - ul
+                    pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+                    pred = np.where((pa <= pb) & (pa <= pc), left,
+                                    np.where(pb <= pc, up, ul))
+                rec[s:e] = cur[s:e] + pred
+        else:
+            raise ValueError(f"unknown PNG filter {f}")
+        out[y] = rec & 0xFF
+        prior = out[y].astype(np.int64)
+    img = out.reshape(h, w, nch)
+    if nch == 1:
+        return np.repeat(img, 3, axis=2)
+    return np.ascontiguousarray(img[:, :, :3])
+
+
 def resize_image(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     """REAL nearest-neighbor resize via numpy index arrays (no libs)."""
     h, w = img.shape[:2]
@@ -120,11 +278,14 @@ def resize_image(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     """payload -> HxWx3 uint8 array.
 
-    Dispatch: P6 PPM decodes FOR REAL (numpy); the MEEFAKE synthetic
-    format decodes when ``fake`` is selected; codec formats (JPEG/PNG)
-    are stubbed — they need libjpeg/PIL, absent in this container."""
+    Dispatch: P6 PPM and PNG decode FOR REAL (numpy / stdlib zlib); the
+    MEEFAKE synthetic format decodes when ``fake`` is selected; remaining
+    codec formats (JPEG) are stubbed — they need libjpeg/PIL, absent in
+    this container."""
     if payload.startswith(b"P6"):
         return decode_ppm(payload)
+    if payload.startswith(_PNG_SIG):
+        return decode_png(payload)
     if payload.startswith(_MAGIC):
         if not fake:
             raise NotImplementedError(
@@ -133,8 +294,8 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
         rng = np.random.default_rng(mid)
         return rng.integers(0, 256, (max(h, 1), max(w, 1), 3), dtype=np.uint8)
     raise NotImplementedError(
-        "codec image formats (JPEG/PNG/...) require PIL/libjpeg — not "
-        "available in this container; PPM decodes natively")
+        "codec image formats (JPEG/...) require PIL/libjpeg — not "
+        "available in this container; PPM and PNG decode natively")
 
 
 def image_features(media: DataFrame, fake: bool = True,

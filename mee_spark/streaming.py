@@ -244,14 +244,23 @@ def stateful_url_dedup(pages_stream: DataFrame, mode: str = "exact",
         GroupStateTimeout.NoTimeout)
 
 
+def windowed_counts(stream: DataFrame, ts_col: str, key_col: str,
+                    window: str = "1 minute",
+                    watermark: str = "2 minutes",
+                    count_alias: str = "n") -> DataFrame:
+    """Watermarked tumbling-window counts by ``key_col`` — late rows
+    beyond the watermark are dropped, state is bounded (the event-time
+    operator family mee has no analog for)."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), key_col)
+        .agg(F.count("*").alias(count_alias))
+        .select(F.col("w.start").alias("window_start"), key_col, count_alias)
+    )
+
+
 def windowed_lang_counts(pages_stream: DataFrame, window: str = "1 minute",
                          watermark: str = "2 minutes") -> DataFrame:
-    """Watermarked tumbling-window counts by language — late rows beyond
-    the watermark are dropped, state is bounded (the event-time operator
-    family mee has no analog for)."""
-    return (
-        pages_stream.withWatermark("warc_ts", watermark)
-        .groupBy(F.window("warc_ts", window).alias("w"), "lang")
-        .agg(F.count("*").alias("n_pages"))
-        .select(F.col("w.start").alias("window_start"), "lang", "n_pages")
-    )
+    """Pages-per-language instance of ``windowed_counts``."""
+    return windowed_counts(pages_stream, "warc_ts", "lang", window,
+                           watermark, count_alias="n_pages")
