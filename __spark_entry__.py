@@ -4,7 +4,9 @@
 every implemented operator (SURVEY.md §2 + the training-data pipeline
 ops) to a (spark, sf_dir) callable; ``oracle_sql`` gives the DuckDB-
 equivalent ANSI SQL for each — EVERY registered query has a value-level
-oracle (39/39), including the end-to-end index lifecycles:
+oracle (43/43, including two Structured Streaming plans whose settled
+memory-sink tables are batch-order invariant), and the end-to-end index
+lifecycles:
 ``fulltext_lifecycle`` (full build → snapshot-diff incremental →
 tombstoned multi-gen WAND) and ``fulltext_compacted`` (the same after
 chain compaction) are hash-checked against DuckDB computing BM25
