@@ -347,6 +347,13 @@ def q_text_bpe_stats(spark, sf_dir):
         F.col("doc_id").cast("long").alias("doc_id"), "text"))
 
 
+def q_text_repetition(spark, sf_dir):
+    from mee_spark.textops import repetition_stats
+
+    return repetition_stats(_read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"))
+
+
 def q_text_winnow(spark, sf_dir):
     from mee_spark.textops import winnow_fingerprints
 
@@ -983,6 +990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
         "text_bpe_stats": q_text_bpe_stats,
+        "text_repetition": q_text_repetition,
         "text_winnow": q_text_winnow,
         "dedup_winnow": q_dedup_winnow,
         "pipeline_curate": q_pipeline_curate,
@@ -1055,6 +1063,25 @@ WITH d AS (SELECT doc_id, array_to_string({_toks('text')}, ' ') AS norm FROM doc
 SELECT doc_id, md5(norm) AS fp, {_hash15('norm')} AS fp_hash FROM d
 """,
         "text_bpe_stats": _BPE_SQL,
+        "text_repetition": f"""
+WITH d AS (SELECT doc_id, {_toks('text')} AS toks FROM documents),
+t AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+             len(list_distinct(toks))::BIGINT AS n_distinct, toks FROM d),
+bgc AS (
+  SELECT doc_id, bg, count(*)::BIGINT AS c FROM (
+    SELECT doc_id,
+           list_extract(toks, i) || ' ' || list_extract(toks, i + 1) AS bg
+    FROM t, LATERAL unnest(generate_series(1, len(toks) - 1)) AS u(i)
+    WHERE len(toks) >= 2)
+  GROUP BY 1, 2),
+agg AS (SELECT doc_id, max(c) AS top_bg, sum(c) AS n_bg FROM bgc GROUP BY 1)
+SELECT t.doc_id, t.n_tokens,
+       floor((t.n_tokens - t.n_distinct) * 1000000
+             / greatest(t.n_tokens, 1))::BIGINT AS dup_token_ppm,
+       floor(coalesce(a.top_bg, 0) * 1000000
+             / greatest(coalesce(a.n_bg, 0), 1))::BIGINT AS top_bigram_ppm
+FROM t LEFT JOIN agg a USING (doc_id)
+""",
         "text_winnow": _WINNOW_SQL,
         "dedup_winnow": _WINNOW_PAIRS_SQL,
         "pipeline_curate": _curate_sql(),

@@ -180,6 +180,12 @@ def minhash_lsh_pairs(
             )
         ).alias("bk"),
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    # materialize the band keys ONCE before the self-join: both branches
+    # would otherwise inline the whole signature pipeline (shingle explode
+    # → num_hashes-way min fold → md5 band keys), computing it twice and
+    # doubling the Catalyst tree. (doc_id, band, key) is docs x bands rows
+    # — small relative to the corpus, the right thing to pin at any scale.
+    banded = banded.localCheckpoint(eager=True)
     a = banded.alias("a")
     b = banded.alias("b")
     candidates = (

@@ -408,6 +408,15 @@ def embedding_dup_pairs_lsh(
         "vec_id", F.col("embedding"),
         norm_col(F.col("embedding")).alias("nrm"),
         lsh_bucket_auto_col(F.col("embedding"), planes).alias("bkt"))
+    # materialize ONCE before the self-join: both join branches would
+    # otherwise inline the O(planes x dim) plan-literal bucket fold
+    # (~1024 expression nodes at the 16x64 default), doubling both the
+    # projection work and — the real cost at interactive scale — the
+    # Catalyst analysis/codegen of a giant tree. One distributed
+    # checkpoint of (id, vec, norm, bucket) is also the right 10^12-shape:
+    # the self-join's two sides read one computed relation instead of
+    # recomputing the projection per side.
+    bucketed = bucketed.localCheckpoint(eager=True)
     # vectors + precomputed norms ride THROUGH the bucket join (a 64-float
     # array is ~0.5 KB — cheaper to carry than to re-join 2x afterwards),
     # and the verify pays ONE fold per candidate (dot; norms hoisted)

@@ -131,6 +131,51 @@ def bpe_token_stats(docs: DataFrame) -> DataFrame:
         mean_len.alias("mean_unit_len"))
 
 
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, dup_token_ppm, top_bigram_ppm) — Gopher/C4-style
+    repetition signals for webtext curation: the duplicate-token fraction
+    and the share of all token bigrams taken by the single most frequent
+    bigram (boilerplate and degenerate generations score high on both).
+
+    Integer ppm arithmetic (floor of bigint products) for engine-portable
+    values. Scale shape: bigrams are counted via explode → two-level
+    groupBy — linear in corpus size with ordinary map-side partial
+    aggregation, never a per-doc O(n²) distinct-vs-scan loop; docs with
+    fewer than 2 tokens rejoin with zero bigram mass (left join)."""
+    toks = tokenize_col(F.col("text"))
+    base = docs.select("doc_id", toks.alias("toks"))
+    per_doc = base.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_distinct"),
+    )
+    bigrams = base.filter(F.size("toks") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.concat_ws(" ", F.element_at(F.col("toks"), i),
+                                      F.element_at(F.col("toks"), i + 1)),
+            )
+        ).alias("bg"),
+    )
+    bg_agg = (
+        bigrams.groupBy("doc_id", "bg").agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").cast("long").alias("top_bg"),
+             F.sum("c").cast("long").alias("n_bg"))
+    )
+    return per_doc.join(bg_agg, "doc_id", "left").select(
+        "doc_id", "n_tokens",
+        F.floor((F.col("n_tokens") - F.col("n_distinct")) * 1_000_000
+                / F.greatest(F.col("n_tokens"), F.lit(1))).cast("long")
+        .alias("dup_token_ppm"),
+        F.floor(F.coalesce(F.col("top_bg"), F.lit(0)) * 1_000_000
+                / F.greatest(F.coalesce(F.col("n_bg"), F.lit(0)), F.lit(1)))
+        .cast("long").alias("top_bigram_ppm"),
+    )
+
+
 def winnow_fingerprints(docs: DataFrame, k: int = 8, window: int = 4) -> DataFrame:
     """(doc_id, fp) — winnowing document fingerprints (Schleimer et al.,
     SIGMOD 2003): rolling char k-gram hashes over the normalized token

@@ -68,3 +68,22 @@ def test_curation_pipeline_is_conjunction(spark):
             if r["quality_ppm"] >= 450_000}
     assert out == (surv & en & good)
     assert out  # non-trivial at this SF
+
+
+def test_repetition_stats_semantics(spark):
+    """Gopher/C4 repetition signals pinned on crafted docs: 'a b a b a b'
+    -> 6 tokens, 2 distinct (dup 666666 ppm); bigrams ab,ba,ab,ba,ab ->
+    top 3 of 5 (600000 ppm). A 1-token doc has zero bigram mass and must
+    survive the left join with ppm 0."""
+    from mee_spark.textops import repetition_stats
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "solo"), (3, "x, y; x y x")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in repetition_stats(docs).collect()}
+    assert got[1] == {"doc_id": 1, "n_tokens": 6, "dup_token_ppm": 666666,
+                      "top_bigram_ppm": 600000}
+    assert got[2] == {"doc_id": 2, "n_tokens": 1, "dup_token_ppm": 0,
+                      "top_bigram_ppm": 0}
+    assert got[3] == {"doc_id": 3, "n_tokens": 5, "dup_token_ppm": 600000,
+                      "top_bigram_ppm": 500000}
