@@ -302,8 +302,11 @@ def wait_for_quiet(threshold: float, max_wait_sec: float,
     engine cannot scale better than the machine during its window).
     Bounded by ``max_wait_sec``; shifting start times toward capable
     windows is honest — every planned run still executes and every
-    result is reported. Returns (busy_frac, hw_scaling_or_None) observed
-    when proceeding."""
+    result is reported. Starting capable is necessary but not
+    sufficient (bursts land mid-pair too), so each pair re-measures the
+    ceiling at its END and the headline carries a disclosed
+    capable-windows secondary median over pairs capable at both ends.
+    Returns (busy_frac, hw_scaling_or_None) observed when proceeding."""
     t0 = time.monotonic()
     busy = cpu_busy_frac(1.0)
     can = canary_ms()
@@ -473,9 +476,13 @@ def main() -> None:
     gen_pages(spark, WARMUP_DOCS, num_partitions=64).write.mode(
         "overwrite").parquet(wu_shared)
     os.environ["MEE_BENCH_WU"] = wu_shared
+    # the query phase gates on the hw ceiling too: run-2 of round 4
+    # measured ann_bruteforce 0.89s -> 9.9s across two runs with zero code
+    # change — a dilated window makes per-query timings pure noise
     q_load, _ = wait_for_quiet(
         threshold=float(os.environ.get("MEE_BENCH_QUIET_BUSY", "0.15")),
-        max_wait_sec=float(os.environ.get("MEE_BENCH_QUIET_WAIT", "240")))
+        max_wait_sec=float(os.environ.get("MEE_BENCH_QUIET_WAIT", "240")),
+        min_hw_scaling=float(os.environ.get("MEE_BENCH_QUIET_HW", "0.92")))
     queries_sec = time_queries(spark)
     q_load_end = loadavg()
     spark.stop()
@@ -540,6 +547,11 @@ def main() -> None:
                 pair["runs"][str(cores)] = rec
             print(f"[bench]   local[{cores}] done: {rec}",
                   file=sys.stderr, flush=True)
+        # re-measure the box's ceiling AFTER the pair: the start gate can't
+        # see a burst that lands mid-pair (observed: a window gated at
+        # 0.938 whose first 4N leg ran 254 s vs 45-52 s quiet). A pair is
+        # "capable-window" only if the ceiling held at BOTH ends.
+        pair["hw_parallel_scaling_end"] = hw_parallel_scaling()
         lo_r = pair["runs"][str(SCALING_N)]
         hi_r = pair["runs"][str(SCALING_4N)]
         pair["efficiency"] = round(
@@ -568,6 +580,16 @@ def main() -> None:
 
     effs = [p["efficiency"] for p in pairs]
     eff_median = _median(effs)
+    # capable-window secondary: pairs whose measured machine ceiling held
+    # >= the gate threshold at BOTH ends of the pair. A ratio taken while
+    # the hypervisor caps parallel capacity measures the host, not the
+    # engine; this median says what the ENGINE does when the machine can
+    # scale. Disclosed, never the primary: all pairs stay in the artifact
+    # and scaling_efficiency remains the unfiltered median.
+    hw_gate = float(os.environ.get("MEE_BENCH_QUIET_HW", "0.92"))
+    capable = [p["efficiency"] for p in pairs
+               if p.get("hw_parallel_scaling", 0) >= hw_gate
+               and p.get("hw_parallel_scaling_end", 0) >= hw_gate]
     norm_effs = [p["efficiency_hw_normalized"] for p in pairs
                  if p.get("efficiency_hw_normalized") is not None]
     hw_ceilings = [p["hw_parallel_scaling"] for p in pairs
@@ -595,6 +617,8 @@ def main() -> None:
         "scaling_efficiency_best_pair": round(max(effs), 3) if effs else None,
         "scaling_efficiency_symmetric": round(_median(sym_effs), 3) if sym_effs else None,
         "scaling_efficiency_hw_normalized": round(_median(norm_effs), 3) if norm_effs else None,
+        "scaling_efficiency_capable_windows": round(_median(capable), 3) if capable else None,
+        "n_capable_pairs": len(capable),
         "pair_efficiencies": effs,
         "dropped_pairs": dropped_pairs,
         "hw_parallel_scaling_median": round(_median(hw_ceilings), 3) if hw_ceilings else None,

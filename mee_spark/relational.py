@@ -248,3 +248,58 @@ def diff_lag(events: DataFrame) -> DataFrame:
         .when(prev != F.col("value"), F.lit("CHANGED"))
         .otherwise(F.lit("SAME")).alias("change"),
     )
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Event sessionization — the classic lag-gap pattern: per user,
+    order by event time, start a new session whenever the gap to the
+    previous event exceeds ``gap_minutes``; session_id = running count of
+    session starts. The standard clickstream/training-log windowing
+    primitive (beyond the reference, which applies events row-at-a-time).
+
+    Scale shape: one shuffle on user_id (the window partition key); no
+    global ordering anywhere — each user's timeline sorts within its
+    partition. Skewed power users are bounded by per-user event counts,
+    not corpus size."""
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    # parquet timestamps arrive as TIMESTAMP_NTZ, which has no direct
+    # long cast; the intermediate timestamp cast gives truncated epoch
+    # seconds (mirrored by floor(epoch(ts)) in the oracle SQL)
+    epoch_s = F.col("ts").cast("timestamp").cast("long")
+    gap_sec = epoch_s - F.lag(epoch_s).over(w)
+    is_start = F.when(
+        gap_sec.isNull() | (gap_sec > gap_minutes * 60), F.lit(1)
+    ).otherwise(F.lit(0))
+    return events.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        "ts",
+        is_start.alias("_s"),
+    ).withColumn(
+        "session_id",
+        F.sum("_s").over(
+            Window.partitionBy("user_id")
+            .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ).cast("long"),
+    ).drop("_s")
+
+
+def rolling_stats(events: DataFrame, n_preceding: int = 4) -> DataFrame:
+    """Per-user rolling aggregates over the last ``n_preceding``+1 events
+    (ROWS window): moving average and running max of ``value`` — the
+    feature-engineering window family (mee has no window functions at
+    all; its `__last` keyset binding is the 1-row special case).
+
+    Same single user_id shuffle as sessionize; ROWS frames are
+    O(frame) per row with Spark's sliding aggregation."""
+    w = (Window.partitionBy("user_id")
+         .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+         .rowsBetween(-n_preceding, 0))
+    return events.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.round(F.avg("value").over(w), 6).alias("moving_avg"),
+        F.round(F.max("value").over(w), 6).alias("running_max"),
+        F.count("*").over(w).cast("long").alias("frame_n"),
+    )

@@ -34,6 +34,8 @@ def _representative_headline() -> dict:
         "scaling_efficiency_best_pair": 0.918,
         "scaling_efficiency_symmetric": 0.851,
         "scaling_efficiency_hw_normalized": 0.909,
+        "scaling_efficiency_capable_windows": 0.944,
+        "n_capable_pairs": 3,
         "pair_efficiencies": [0.918, 0.733, 0.823, 0.875, 0.911],
         "dropped_pairs": 0,
         "hw_parallel_scaling_median": 0.979,

@@ -96,3 +96,48 @@ def test_delta_col_calendar_arithmetic(spark):
     days = span.select(range_period_col(F.col("a"), F.col("b")).alias("d")).collect()[0]["d"]
     assert days == [datetime.date(2024, 1, 1), datetime.date(2024, 1, 2),
                     datetime.date(2024, 1, 3)]
+
+
+def test_sessionize_gap_boundaries(spark):
+    """Lag-gap sessionization pinned on a crafted timeline: a gap of
+    exactly gap_minutes does NOT start a new session (strict >); the
+    first event always does; users are independent."""
+    import datetime as dt
+
+    from mee_spark.relational import sessionize
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        # user 1: start, +29m59s (same), +30m exactly (same: gap == 1800
+        # is not > 1800), +30m01s (new), +1s (same)
+        (1, 1, t0),
+        (2, 1, t0 + dt.timedelta(minutes=29, seconds=59)),
+        (3, 1, t0 + dt.timedelta(minutes=59, seconds=59)),
+        (4, 1, t0 + dt.timedelta(minutes=90, seconds=0)),
+        (5, 1, t0 + dt.timedelta(minutes=90, seconds=1)),
+        # user 2: lone event -> session 1
+        (6, 2, t0 + dt.timedelta(hours=5)),
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    got = {r["event_id"]: r["session_id"]
+           for r in sessionize(ev, gap_minutes=30).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 2, 5: 2, 6: 1}
+
+
+def test_rolling_stats_frames(spark):
+    """ROWS-frame rolling mean/max: frame_n ramps 1..n_preceding+1, the
+    mean is over exactly the frame rows, and ties order by event_id."""
+    import datetime as dt
+
+    from mee_spark.relational import rolling_stats
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(i, 1, t0 + dt.timedelta(minutes=i), float(v))
+            for i, v in enumerate([10.0, 20.0, 60.0, 20.0])]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double")
+    got = {r["event_id"]: r for r in rolling_stats(ev, n_preceding=2).collect()}
+    assert [got[i]["frame_n"] for i in range(4)] == [1, 2, 3, 3]
+    assert got[2]["moving_avg"] == 30.0 and got[2]["running_max"] == 60.0
+    assert round(got[3]["moving_avg"], 6) == round(100.0 / 3, 6)
+    assert got[3]["running_max"] == 60.0
