@@ -132,12 +132,13 @@ TIMED_QUERIES = [
     "fulltext_bm25_topk", "fulltext_bm25_conjunctive", "fulltext_bm25_wand",
     "fulltext_postings",
     "fulltext_term_df", "text_quality", "text_langid", "text_fingerprint",
-    "text_bpe_stats", "text_winnow", "pipeline_curate",
+    "text_bpe_stats", "text_repetition", "text_winnow", "pipeline_curate",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_lsh",
     "ann_bruteforce", "ann_lsh", "ann_ivf",
     "rel_lookup_join", "rel_multihop_join", "rel_nested_collect",
     "rel_filter_predicates", "rel_topk_per_group", "rel_diff_lag",
     "rel_cdc_trigger", "rel_date_arithmetic", "rel_date_ranges",
+    "rel_sessionize", "rel_rolling_stats",
 ]
 
 
