@@ -277,6 +277,44 @@ def hw_parallel_scaling(n_lo: int = 4, n_hi: int = 16) -> float:
     return round((thr_hi / thr_lo) / (n_hi / n_lo), 3)
 
 
+def _membw_proc(i: int) -> float:
+    """Worker for membw_gbs: stream two 32 MB float64 buffers for ~1.5 s,
+    return GB/s moved (read+write) by this process."""
+    import numpy as np
+
+    a = np.random.default_rng(i).standard_normal(4_000_000)
+    b = np.empty_like(a)
+    t0 = time.monotonic()
+    n = 0
+    while time.monotonic() - t0 < 1.5:
+        np.multiply(a, 1.0001, out=b)
+        np.add(b, 1.0, out=a)
+        n += 1
+    # per iteration: 2 ops x (read 32MB + write 32MB) = 128 MB traffic
+    return n * 0.128 / (time.monotonic() - t0)  # GB/s
+
+
+def membw_gbs(n_procs: int = 16) -> float:
+    """ABSOLUTE combined DRAM throughput of ``n_procs`` streaming workers
+    (GB/s). Recorded per pair as evidence, not gated (yet): round-4 found
+    a dilation mode where every CPU probe reads clean (burst 0.81,
+    sustained-12s 1.03) while Spark's 16-thread legs run 2.6x slow — and
+    the membw-scaling RATIO is non-discriminating because ~0.48 is the
+    box's own idle DRAM ceiling (round-1 finding). Shuffle/Arrow/parquet
+    work is bandwidth-bound, so the ABSOLUTE GB/s during the window is
+    the candidate discriminator; this column builds the calibration data."""
+    from concurrent.futures import ProcessPoolExecutor
+
+    best = 0.0
+    with ProcessPoolExecutor(n_procs) as ex:
+        # best-of-2: single shots are noisy (measured 0.9 vs 40 GB/s
+        # seconds apart — scheduling + page-fault spikes, same reason the
+        # canary is min-of-3); capability = the best the window allows
+        for _ in range(2):
+            best = max(best, sum(ex.map(_membw_proc, range(n_procs))))
+    return round(best, 1)
+
+
 def cpu_busy_frac(sample_sec: float = 1.0) -> float:
     """Fraction of ALL host cores busy over a short window — the actual
     interference signal. 1-min loadavg is useless here: it decays over
@@ -356,16 +394,24 @@ def run_level(cores: int, corpus: str, n_docs: int, with_queries: bool) -> None:
         wu_corpus = os.path.join(tempfile.mkdtemp(), "wu.parquet")
         gen_pages(spark, WARMUP_DOCS, num_partitions=64).write.mode(
             "overwrite").parquet(wu_corpus)
+    # warmup is TIMED and reported: it is a fixed-size build in the same
+    # JVM as the timed run, so it doubles as an in-run dilation reference
+    # — round-4 measured Spark 16-thread legs dilating 2.6x in windows
+    # where the short numpy capacity probes read clean (sustained-load
+    # throttling that burst probes cannot see; the warmup can).
+    wu_t0 = time.monotonic()
     for _ in range(int(os.environ.get("MEE_BENCH_WARMUP_ROUNDS", "1"))):
         build_full_index(spark, spark.read.parquet(wu_corpus), cfg,
                          tempfile.mkdtemp(), gen=1)
+    warmup_sec = time.monotonic() - wu_t0
     pages = spark.read.parquet(corpus)
     t0 = time.monotonic()
     ix = tempfile.mkdtemp()
     build_full_index(spark, pages, cfg, ix, gen=1, resume=False)
     build_sec = time.monotonic() - t0
     rec = {"cores": cores, "build_sec": round(build_sec, 2),
-           "docs_per_sec": round(n_docs / build_sec, 1)}
+           "docs_per_sec": round(n_docs / build_sec, 1),
+           "warmup_sec": round(warmup_sec, 2)}
     if with_queries:
         queries = gen_queries(spark, 100)
         t0 = time.monotonic()
@@ -532,6 +578,9 @@ def main() -> None:
                       # better than the machine during its window
                       "hw_parallel_scaling": (hw_now if hw_now is not None
                                               else hw_parallel_scaling()),
+                      # absolute DRAM throughput evidence (GB/s, 16
+                      # streaming procs) — see membw_gbs docstring
+                      "membw_gbs_at_start": membw_gbs(),
                       "runs": {}, "runs_4n_all": []}
         print(f"[bench] pair {i + 1}/{len(PAIR_PLAN)}: order {order} "
               f"(host busy {busy_now}, hw ceiling "
@@ -553,6 +602,7 @@ def main() -> None:
         # 0.938 whose first 4N leg ran 254 s vs 45-52 s quiet). A pair is
         # "capable-window" only if the ceiling held at BOTH ends.
         pair["hw_parallel_scaling_end"] = hw_parallel_scaling()
+        pair["membw_gbs_at_end"] = membw_gbs()
         lo_r = pair["runs"][str(SCALING_N)]
         hi_r = pair["runs"][str(SCALING_4N)]
         pair["efficiency"] = round(
