@@ -673,6 +673,15 @@ def main() -> None:
         "pair_efficiencies": effs,
         "dropped_pairs": dropped_pairs,
         "hw_parallel_scaling_median": round(_median(hw_ceilings), 3) if hw_ceilings else None,
+        # per-pair best 4N warmup seconds — the in-run Spark-shaped
+        # dilation reference (quiet ~20 s at the default 50k warmup; pair
+        # efficiency is near-monotone in this column, see BENCH/BASELINE.md
+        # round-4). Lets a reader attribute sub-gate pairs to host
+        # dilation straight from the headline.
+        "t8_warmup_sec_per_pair": [
+            min((r["warmup_sec"] for r in p.get("runs_4n_all", [])
+                 if "warmup_sec" in r), default=None)
+            for p in pairs],
         "host_busy_query_phase": q_load,
         "detail": "BENCH/last_run_full.json",
     }

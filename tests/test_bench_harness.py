@@ -39,6 +39,7 @@ def _representative_headline() -> dict:
         "pair_efficiencies": [0.918, 0.733, 0.823, 0.875, 0.911],
         "dropped_pairs": 0,
         "hw_parallel_scaling_median": 0.979,
+        "t8_warmup_sec_per_pair": [21.8, 23.47, 34.75, 30.28, 21.31],
         "host_busy_query_phase": 0.123,
         "detail": "BENCH/last_run_full.json",
     }
