@@ -631,16 +631,30 @@ def main() -> None:
 
     effs = [p["efficiency"] for p in pairs]
     eff_median = _median(effs)
-    # capable-window secondary: pairs whose measured machine ceiling held
-    # >= the gate threshold at BOTH ends of the pair. A ratio taken while
-    # the hypervisor caps parallel capacity measures the host, not the
-    # engine; this median says what the ENGINE does when the machine can
-    # scale. Disclosed, never the primary: all pairs stay in the artifact
-    # and scaling_efficiency remains the unfiltered median.
+    # capable-window secondary: pairs where the machine demonstrably could
+    # run the workload at speed. Two conditions, both required: (a) the
+    # numpy process-scaling ceiling held >= the gate threshold at BOTH
+    # ends of the pair, and (b) the pair's best 4N warmup build — the
+    # only probe SHAPED like the workload — ran within 1.25x the
+    # session's best (threshold pre-registered from round-4 calibration:
+    # quiet t8 warmups cluster ~20-23 s while dilated windows measure
+    # 30-61 s; numpy probes alone labeled 2.6x-dilated pairs "capable").
+    # A ratio taken while the hypervisor caps the workload measures the
+    # host, not the engine; this median says what the ENGINE does when
+    # the machine can run it. Disclosed, never the primary: all pairs
+    # stay in the artifact and scaling_efficiency remains the unfiltered
+    # median.
     hw_gate = float(os.environ.get("MEE_BENCH_QUIET_HW", "0.92"))
-    capable = [p["efficiency"] for p in pairs
-               if p.get("hw_parallel_scaling", 0) >= hw_gate
-               and p.get("hw_parallel_scaling_end", 0) >= hw_gate]
+    pair_wu = [
+        min((r["warmup_sec"] for r in p.get("runs_4n_all", [])
+             if "warmup_sec" in r), default=None)
+        for p in pairs]
+    wu_best = min((w for w in pair_wu if w is not None), default=None)
+    capable = [
+        p["efficiency"] for p, wu in zip(pairs, pair_wu)
+        if p.get("hw_parallel_scaling", 0) >= hw_gate
+        and p.get("hw_parallel_scaling_end", 0) >= hw_gate
+        and (wu is None or wu_best is None or wu <= 1.25 * wu_best)]
     norm_effs = [p["efficiency_hw_normalized"] for p in pairs
                  if p.get("efficiency_hw_normalized") is not None]
     hw_ceilings = [p["hw_parallel_scaling"] for p in pairs
@@ -678,10 +692,7 @@ def main() -> None:
         # efficiency is near-monotone in this column, see BENCH/BASELINE.md
         # round-4). Lets a reader attribute sub-gate pairs to host
         # dilation straight from the headline.
-        "t8_warmup_sec_per_pair": [
-            min((r["warmup_sec"] for r in p.get("runs_4n_all", [])
-                 if "warmup_sec" in r), default=None)
-            for p in pairs],
+        "t8_warmup_sec_per_pair": pair_wu,
         "host_busy_query_phase": q_load,
         "detail": "BENCH/last_run_full.json",
     }
