@@ -4,7 +4,7 @@
 every implemented operator (SURVEY.md §2 + the training-data pipeline
 ops) to a (spark, sf_dir) callable; ``oracle_sql`` gives the DuckDB-
 equivalent ANSI SQL for each — EVERY registered query has a value-level
-oracle (43/43, including two Structured Streaming plans whose settled
+oracle (including two Structured Streaming plans whose settled
 memory-sink tables are batch-order invariant), and the end-to-end index
 lifecycles:
 ``fulltext_lifecycle`` (full build → snapshot-diff incremental →
@@ -907,6 +907,11 @@ def q_rel_sessionize(spark, sf_dir):
     """Window family: lag-gap sessionization (30-min inactivity gap)."""
     from mee_spark.relational import sessionize
 
+    # UTC session tz: sessionize derives epoch seconds via an NTZ→LTZ
+    # cast, which reads the naive parquet timestamp in the session tz; a
+    # DST-observing tz would shift gaps straddling a transition by
+    # ±3600 s and diverge from the oracle's floor(epoch(ts))
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return sessionize(_read(spark, sf_dir, "events"), gap_minutes=30).select(
         "event_id", "user_id", "session_id")
 
@@ -938,6 +943,9 @@ def q_stream_windowed_counts(spark, sf_dir):
 
     from mee_spark.streaming import windowed_counts
 
+    # UTC session tz: F.window buckets event-time in the session tz
+    # while the oracle uses date_trunc('hour', ts) on naive UTC values
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     # the file stream source requires a DIRECTORY; stage the driver's
     # single parquet file into one
     stage = tempfile.mkdtemp(prefix="stream_wc_src_")

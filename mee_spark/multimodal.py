@@ -202,6 +202,11 @@ def decode_png(payload: bytes) -> np.ndarray:
     pos, idat, hdr = 8, [], None
     while pos + 12 <= len(payload):
         (length,) = struct.unpack(">I", payload[pos:pos + 4])
+        # trust-but-verify the declared length: a truncated/corrupt chunk
+        # whose length overruns the buffer must fail like the other
+        # malformed-input paths, not as a struct.error on a short CRC slice
+        if pos + 12 + length > len(payload):
+            raise ValueError("truncated PNG chunk")
         typ = payload[pos + 4:pos + 8]
         data = payload[pos + 8:pos + 8 + length]
         (crc,) = struct.unpack(">I", payload[pos + 8 + length:pos + 12 + length])

@@ -321,6 +321,12 @@ def test_png_gray_rgba_and_honest_failures():
     bad[20] ^= 0xFF  # inside IHDR data -> CRC mismatch
     with pytest.raises(ValueError, match="CRC"):
         decode_png(bytes(bad))
+    # a chunk whose declared length overruns the buffer raises ValueError
+    # (not struct.error on the short CRC slice): bump IHDR's length field
+    overrun = bytearray(good)
+    overrun[8:12] = struct.pack(">I", len(good))  # IHDR length >> payload
+    with pytest.raises(ValueError, match="truncated"):
+        decode_png(bytes(overrun))
     # 16-bit and interlace raise honestly
     for ihdr in (struct.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0),
                  struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 1)):
