@@ -30,8 +30,8 @@ Scaling protocol (hard-won; see BENCH/BASELINE.md):
     numpy-process ceiling. The hypervisor moves the box's effective
     parallel capacity by >25% between windows with zero visible
     neighbor CPU; the engine cannot scale better than the machine
-    during its window, so scaling_efficiency_hw_normalized (median of
-    per-pair eff/ceiling, capped at 1) ships next to the raw headline;
+    during its window, so per-pair efficiency_hw_normalized (eff/ceiling,
+    capped at 1) ships in the detail artifact next to each raw pair;
   * efficiency headline = MEDIAN of per-pair same-window ratios; the
     best pair and every raw run are reported alongside. The headline
     docs/sec and the query batch come from the best pair's 4N run — the
@@ -69,6 +69,21 @@ Scaling protocol (hard-won; see BENCH/BASELINE.md):
     measures the hypervisor, not the plan. Same bounded wait, same
     honesty argument; the gate's measurement doubles as the pair's
     recorded hw_parallel_scaling column.
+  * (round 5) each pair's start is ALSO gated on a SPARK-SHAPED canary: a
+    fixed 50k-doc build in a short-lived JVM (~20 s quiet), retried under a
+    bounded wait until it runs within MEE_BENCH_CANARY_RATIO of
+    min(session best, pre-registered absolute ~22 s). Round 4 measured a
+    dilation mode that defeats every non-Spark probe (busy-share ~0,
+    single-thread canary clean, numpy burst/sustained process scaling
+    0.81-1.03, DRAM throughput normal) while Spark's 16-thread legs ran
+    1.9-2.6x slow; only Spark-shaped work sees it. The same evidence
+    drives the capable-window secondary (pair_capable): hw ceiling at both
+    ends + canary ok + every leg's warmup within the absolute-anchored
+    ratio — and the plan EXTENDS by up to MEE_BENCH_EXTRA_PAIRS while
+    fewer than MEE_BENCH_MIN_CAPABLE pairs ran in capable windows, a
+    criterion computed from host-capability columns only (never measured
+    efficiency), so the artifact carries a statistically meaningful
+    capable median without outcome selection;
   * work dirs on /dev/shm: local mode funnels every executor's shuffle
     and segment IO through ONE shared disk, which a real cluster never
     does (per-node NVMe); tmpfs emulates per-node disks;
@@ -126,9 +141,6 @@ PARTITIONS = 4 * CPUS
 SHM = "/dev/shm/meebench"
 
 TIMED_QUERIES = [
-    # fulltext_lifecycle is deliberately NOT timed: it runs two complete
-    # index lifecycles (correctness showcase); build throughput is already
-    # the scaling metric, and its ~2 min would crowd out scaling samples
     "fulltext_bm25_topk", "fulltext_bm25_conjunctive", "fulltext_bm25_wand",
     "fulltext_postings",
     "fulltext_term_df", "text_quality", "text_langid", "text_fingerprint",
@@ -139,7 +151,18 @@ TIMED_QUERIES = [
     "rel_filter_predicates", "rel_topk_per_group", "rel_diff_lag",
     "rel_cdc_trigger", "rel_date_arithmetic", "rel_date_ranges",
     "rel_sessionize", "rel_rolling_stats",
+    # end-to-end entries (round-5, VERDICT r4 #3): two full index
+    # lifecycles, chain compaction, and the two Structured Streaming
+    # plans — the paths a user actually runs — measured at sf0.1 these
+    # are 10-17 s each, cheap enough to time in the contract set
+    "fulltext_lifecycle", "fulltext_compacted",
+    "stream_windowed_counts", "stream_dedup_urls",
 ]
+# the untimed steady-state pass covers the repeatable analytic queries;
+# the end-to-end lifecycle/streaming entries are build-dominated (their
+# cost IS unique work, cold==warm) so a second execution would only burn
+# wall budget
+WARM_PASS_QUERIES = TIMED_QUERIES[:-4]
 
 
 def make_session(cores: int):
@@ -351,21 +374,126 @@ def wait_for_quiet(threshold: float, max_wait_sec: float,
     can = canary_ms()
     hw = hw_parallel_scaling() if min_hw_scaling > 0 else None
     waited = time.monotonic() - t0
+    looped = False  # only log a wait when the gate actually held us
     while ((busy > threshold or can > 1.15 * _CANARY_BEST[0]
             or (hw is not None and hw < min_hw_scaling))
            and waited < max_wait_sec):
+        looped = True
         time.sleep(4)
         busy = cpu_busy_frac(1.0)
         can = canary_ms()
         if hw is not None:
             hw = hw_parallel_scaling()
         waited = time.monotonic() - t0
-    if waited:
+    if looped:
         print(f"[bench] waited {waited:.0f}s for quiet (host busy {busy:.2f}, "
               f"canary {can:.0f}ms vs best {_CANARY_BEST[0]:.0f}ms"
               + (f", hw ceiling {hw}" if hw is not None else "") + ")",
               file=sys.stderr, flush=True)
     return round(busy, 3), hw
+
+
+# ------------------------------------------------------- spark-shaped canary
+
+_SPARK_CANARY_BEST = [float("inf")]
+# pre-registered absolute calibration for the DEFAULT canary shape (the
+# 50k-doc warmup corpus built at the 4N level in a fresh JVM): quiet-host
+# measurements across rounds 3-4 cluster at 19.96-23.9 s (BENCH/BASELINE.md;
+# BENCH_r04 t8_warmup_sec_per_pair), dilated windows at 26-61 s. Anchoring
+# the gate reference at min(session_best, ABS) closes the round-4 advice
+# hole: in a session that is dilated END TO END, a session-relative best
+# would label every window capable. Env-overridable because the constant is
+# only meaningful for the default MEE_BENCH_WARMUP_DOCS/config; set 0 to
+# disable the anchor when benching a non-default shape.
+CANARY_ABS_SEC = float(os.environ.get("MEE_BENCH_CANARY_ABS_SEC", "22.0"))
+# same pre-registration for the per-level warmup columns used by the
+# capable-window filter (round-4 detail: quiet t2 warmups 42.2-44.1 s)
+WU_ABS_SEC = {  # by cores level
+    4 * int(os.environ.get("MEE_BENCH_N", "2")):
+        float(os.environ.get("MEE_BENCH_WU_ABS_4N", "22.0")),
+    int(os.environ.get("MEE_BENCH_N", "2")):
+        float(os.environ.get("MEE_BENCH_WU_ABS_N", "44.0")),
+}
+CANARY_RATIO = float(os.environ.get("MEE_BENCH_CANARY_RATIO", "1.2"))
+
+
+def run_spark_canary(corpus: str) -> None:
+    """Subprocess entry: ONE fixed-size build in a fresh JVM at the 4N
+    level — deliberately the exact shape of run_level's warmup (same
+    corpus, same config, first build in the session), so the pre-existing
+    t8 warmup calibration data applies to it unchanged."""
+    tempfile.tempdir = f"{SHM}/work"
+    os.makedirs(tempfile.tempdir, exist_ok=True)
+    from mee_spark.build import build_full_index
+    from mee_spark.config import IndexConfig
+
+    spark = make_session(SCALING_4N)
+    spark.sparkContext.setLogLevel("ERROR")
+    cfg = IndexConfig(num_doc_partitions=PARTITIONS, num_term_buckets=32,
+                      doc_range_size=1 << 15)
+    t0 = time.monotonic()
+    build_full_index(spark, spark.read.parquet(corpus), cfg,
+                     tempfile.mkdtemp(), gen=1)
+    print("CANARY " + json.dumps({"build_sec": round(time.monotonic() - t0, 2)}))
+    spark.stop()
+
+
+def spawn_spark_canary() -> float:
+    """Run the Spark canary in a fresh JVM; returns its build seconds
+    (inf on timeout/failure — a canary the host cannot finish IS the
+    dilation signal, not an error to hide)."""
+    env = os.environ | {"PYTHONPATH": os.path.dirname(os.path.abspath(__file__))}
+    corpus = os.environ.get("MEE_BENCH_WU", "")
+    args = [sys.executable, os.path.abspath(__file__), "--spark-canary", corpus]
+    try:
+        out = subprocess.run(args, capture_output=True, text=True, env=env,
+                             timeout=300)
+        for line in out.stdout.splitlines():
+            if line.startswith("CANARY "):
+                return float(json.loads(line[len("CANARY "):])["build_sec"])
+        print(f"[bench] spark canary produced no record: "
+              f"{out.stderr[-500:]}", file=sys.stderr, flush=True)
+    except subprocess.TimeoutExpired:
+        print("[bench] spark canary timed out (300s)", file=sys.stderr, flush=True)
+    return float("inf")
+
+
+def spark_canary_gate(max_wait_sec: float) -> dict:
+    """Round-5 pair gate (VERDICT r4 #1). The round-4 host's dilation mode
+    defeats every non-Spark probe — busy-share ~0, single-thread canary
+    clean, burst and sustained numpy process scaling 0.81-1.03, absolute
+    DRAM throughput normal — while Spark-shaped 16-thread legs run
+    1.9-2.6x slow (BENCH/BASELINE.md round-4). The only probe that SEES
+    the mode is Spark-shaped work itself, so the gate runs a small fixed
+    build in a short-lived JVM (~20 s quiet) and requires it within
+    CANARY_RATIO of min(session best, pre-registered absolute). Bounded
+    wait like every other gate: on expiry the pair still runs and the
+    recorded not-ok flag routes it out of the capable-window secondary.
+    Every attempt ships in the artifact."""
+    t0 = time.monotonic()
+    attempts: list[float] = []
+    while True:
+        sec = spawn_spark_canary()
+        attempts.append(round(sec, 2) if sec != float("inf") else None)
+        if sec != float("inf"):
+            _SPARK_CANARY_BEST[0] = min(_SPARK_CANARY_BEST[0], sec)
+        ref = _SPARK_CANARY_BEST[0]
+        if CANARY_ABS_SEC > 0:
+            ref = min(ref, CANARY_ABS_SEC)
+        ok = sec <= CANARY_RATIO * ref
+        waited = time.monotonic() - t0
+        if ok or waited >= max_wait_sec:
+            if not ok:
+                print(f"[bench] spark canary gate EXPIRED after {waited:.0f}s "
+                      f"(last {sec:.1f}s vs ref {ref:.1f}s) — pair runs, "
+                      f"marked not-capable", file=sys.stderr, flush=True)
+            return {"spark_canary_sec": (round(sec, 2) if sec != float("inf")
+                                         else None),
+                    "spark_canary_attempts": attempts,
+                    "spark_canary_ref_sec": round(ref, 2),
+                    "spark_canary_ok": ok,
+                    "spark_canary_wait_sec": round(waited, 1)}
+        time.sleep(8)
 
 
 # ---------------------------------------------------------------- level mode
@@ -484,24 +612,98 @@ def budget_cut_decision(elapsed: float, pairs_done: int,
     return elapsed + avg > budget, avg, elapsed + avg
 
 
-def time_queries(spark) -> dict[str, float]:
+def time_queries(spark) -> tuple[dict[str, float], float]:
+    """One untimed steady-state pass over the repeatable queries, then the
+    timed pass. Same philosophy as the build phase's 50k-doc warmup: the
+    number a 100-TB operator cares about is steady-state latency, and the
+    cold pass conflates it with one-time JVM/Catalyst/Arrow-worker spin-up
+    (round-4's official draw recorded dedup_minhash_lsh at 36.99 s — 5.7x
+    the 6.5 s the same query measures warm). The warm pass's wall time
+    ships in the artifact (query_warmup_pass_sec), so the cold-start cost
+    stays visible rather than hidden."""
     import __spark_entry__ as em
 
     qs = em.queries()
+    t0 = time.monotonic()
+    for name in WARM_PASS_QUERIES:
+        qs[name](spark, SF_DIR).count()
+    warm_sec = round(time.monotonic() - t0, 2)
+    print(f"[bench] untimed warm pass: {warm_sec}s", file=sys.stderr, flush=True)
     out = {}
-    qs["fulltext_corpus_stats"](spark, SF_DIR).collect()  # warmup
     for name in TIMED_QUERIES:
         t0 = time.monotonic()
         qs[name](spark, SF_DIR).count()
         out[name] = round(time.monotonic() - t0, 3)
         print(f"[bench] {name}: {out[name]}s", file=sys.stderr, flush=True)
-    return out
+    return out, warm_sec
+
+
+def _wu_refs(pairs: list[dict]) -> dict[int, float]:
+    """Per-cores-level warmup reference = min(session best over every leg
+    and canary attempt, pre-registered absolute) — the denominator for the
+    capable-window warmup test."""
+    best: dict[int, float] = {}
+    for p in pairs:
+        legs = list(p.get("runs_4n_all", []))
+        lo = p.get("runs", {}).get(str(SCALING_N))
+        if lo:
+            legs.append(lo)
+        for r in legs:
+            if "warmup_sec" in r:
+                c = r["cores"]
+                best[c] = min(best.get(c, float("inf")), r["warmup_sec"])
+        for s in p.get("spark_canary_attempts", []):
+            if s is not None:
+                best[SCALING_4N] = min(best.get(SCALING_4N, float("inf")), s)
+    refs = {}
+    for c, abs_ref in WU_ABS_SEC.items():
+        b = best.get(c, float("inf"))
+        refs[c] = min(b, abs_ref) if abs_ref > 0 else b
+    return refs
+
+
+def pair_capable(p: dict, wu_refs: dict[int, float], hw_gate: float) -> bool:
+    """Was the HOST demonstrably capable of running the workload at speed
+    for this pair's whole window? Four conditions, every one required and
+    none derived from the pair's measured efficiency:
+      (a) numpy process-scaling ceiling >= gate at BOTH ends;
+      (b) the pair's Spark canary gate passed at start (the only probe
+          that sees the round-4 dilation mode);
+      (c) warmup data PRESENT for every leg (round-4 advice: a missing
+          column must mean not-capable, never vacuously capable);
+      (d) every leg's warmup within CANARY_RATIO of its level's reference
+          (absolute-anchored, so a fully-dilated session cannot
+          self-normalize) — three Spark-shaped samples spread across the
+          window, catching dilation that lands mid-pair."""
+    if p.get("hw_parallel_scaling", 0) < hw_gate:
+        return False
+    if p.get("hw_parallel_scaling_end", 0) < hw_gate:
+        return False
+    if not p.get("spark_canary_ok"):
+        return False
+    legs = list(p.get("runs_4n_all", []))
+    lo = p.get("runs", {}).get(str(SCALING_N))
+    if lo:
+        legs.append(lo)
+    if len(legs) < 3:
+        return False
+    for r in legs:
+        wu = r.get("warmup_sec")
+        ref = wu_refs.get(r.get("cores"))
+        if wu is None or ref is None or ref == float("inf"):
+            return False
+        if wu > CANARY_RATIO * ref:
+            return False
+    return True
 
 
 def main() -> None:
     if len(sys.argv) >= 3 and sys.argv[1] == "--level":
         run_level(int(sys.argv[2]), sys.argv[3], BENCH_DOCS,
                   with_queries="--queries" in sys.argv)
+        return
+    if len(sys.argv) >= 3 and sys.argv[1] == "--spark-canary":
+        run_spark_canary(sys.argv[2])
         return
 
     shutil.rmtree(SHM, ignore_errors=True)
@@ -530,7 +732,13 @@ def main() -> None:
         threshold=float(os.environ.get("MEE_BENCH_QUIET_BUSY", "0.15")),
         max_wait_sec=float(os.environ.get("MEE_BENCH_QUIET_WAIT", "240")),
         min_hw_scaling=float(os.environ.get("MEE_BENCH_QUIET_HW", "0.92")))
-    queries_sec = time_queries(spark)
+    # the query phase gets the Spark canary gate too (VERDICT r4 #2): the
+    # dilation mode is invisible to the numpy probes, and a dilated window
+    # turns per-query timings into noise (round-4: ann_bruteforce 0.89 s ->
+    # 9.9 s across two runs with zero code change)
+    canary_wait = float(os.environ.get("MEE_BENCH_CANARY_WAIT", "150"))
+    q_gate = spark_canary_gate(canary_wait)
+    queries_sec, query_warmup_pass_sec = time_queries(spark)
     q_load_end = loadavg()
     spark.stop()
 
@@ -546,7 +754,21 @@ def main() -> None:
     pairs: list[dict] = []
     dropped_pairs = 0
     queried_once = False
-    for i, order in enumerate(PAIR_PLAN):
+    hw_gate_thr = float(os.environ.get("MEE_BENCH_QUIET_HW", "0.92"))
+    # the base plan is fixed up front; up to MEE_BENCH_EXTRA_PAIRS more
+    # pairs are appended ONLY while fewer than MEE_BENCH_MIN_CAPABLE pairs
+    # ran in demonstrably-capable windows (VERDICT r4 #1: size the run so
+    # n_capable_pairs >= 3). The extension criterion reads the host-
+    # capability columns EXCLUSIVELY — never a pair's measured efficiency
+    # — so it adds samples under conditions where the measurement means
+    # something, without selecting on outcomes; every pair, capable or
+    # not, still enters the unfiltered primary median.
+    plan: list[list[int]] = [list(o) for o in PAIR_PLAN]
+    extra_left = int(os.environ.get("MEE_BENCH_EXTRA_PAIRS", "3"))
+    min_capable = int(os.environ.get("MEE_BENCH_MIN_CAPABLE", "3"))
+    i = 0
+    while i < len(plan):
+        order = plan[i]
         elapsed = time.monotonic() - bench_t0
         cut, avg_pair, projected = budget_cut_decision(elapsed, len(pairs), budget)
         if pairs:
@@ -558,9 +780,9 @@ def main() -> None:
                   f"{projected:.0f}s vs budget {budget:.0f}s",
                   file=sys.stderr, flush=True)
         if cut:
-            dropped_pairs = len(PAIR_PLAN) - i
+            dropped_pairs = len(plan) - i
             print(f"[bench] WALL BUDGET — dropping {dropped_pairs} of "
-                  f"{len(PAIR_PLAN)} planned pairs (completed {i}; "
+                  f"{len(plan)} planned pairs (completed {i}; "
                   f"avg pair {avg_pair:.0f}s, elapsed {elapsed:.0f}s)",
                   file=sys.stderr, flush=True)
             break
@@ -569,8 +791,10 @@ def main() -> None:
         # hw measurement is the pair's recorded ceiling (no double cost).
         busy_now, hw_now = wait_for_quiet(
             threshold=quiet_busy, max_wait_sec=quiet_wait,
-            min_hw_scaling=float(os.environ.get("MEE_BENCH_QUIET_HW", "0.92")))
-        pair: dict = {"order": list(order), "host_busy_at_start": busy_now,
+            min_hw_scaling=hw_gate_thr)
+        gate = spark_canary_gate(canary_wait)
+        pair: dict = gate | {
+            "order": list(order), "host_busy_at_start": busy_now,
                       "canary_ms_at_start": canary_ms(),
                       "canary_ms_best": round(_CANARY_BEST[0], 1),
                       # the box's own (thr_16/thr_4)/4 numpy-process
@@ -582,7 +806,7 @@ def main() -> None:
                       # streaming procs) — see membw_gbs docstring
                       "membw_gbs_at_start": membw_gbs(),
                       "runs": {}, "runs_4n_all": []}
-        print(f"[bench] pair {i + 1}/{len(PAIR_PLAN)}: order {order} "
+        print(f"[bench] pair {i + 1}/{len(plan)}: order {order} "
               f"(host busy {busy_now}, hw ceiling "
               f"{pair['hw_parallel_scaling']})", file=sys.stderr, flush=True)
         for cores in order:
@@ -623,6 +847,20 @@ def main() -> None:
         print(f"[bench] pair {i + 1} efficiency: {pair['efficiency']} "
               f"(hw-normalized {pair['efficiency_hw_normalized']})",
               file=sys.stderr, flush=True)
+        i += 1
+        if i == len(plan) and extra_left > 0:
+            refs_now = _wu_refs(pairs)
+            n_cap = sum(1 for p in pairs
+                        if pair_capable(p, refs_now, hw_gate_thr))
+            if n_cap < min_capable:
+                plan.append([SCALING_N, SCALING_4N, SCALING_4N]
+                            if len(plan) % 2 == 0
+                            else [SCALING_4N, SCALING_4N, SCALING_N])
+                extra_left -= 1
+                print(f"[bench] only {n_cap} capable pairs after {len(pairs)} "
+                      f"— extending plan (host-conditioned, "
+                      f"{extra_left} extensions left)",
+                      file=sys.stderr, flush=True)
 
     def _median(v: list[float]) -> float:
         s = sorted(v)
@@ -632,33 +870,21 @@ def main() -> None:
     effs = [p["efficiency"] for p in pairs]
     eff_median = _median(effs)
     # capable-window secondary: pairs where the machine demonstrably could
-    # run the workload at speed. Two conditions, both required: (a) the
-    # numpy process-scaling ceiling held >= the gate threshold at BOTH
-    # ends of the pair, and (b) the pair's best 4N warmup build — the
-    # only probe SHAPED like the workload — ran within 1.25x the
-    # session's best (threshold pre-registered from round-4 calibration:
-    # quiet t8 warmups cluster ~20-23 s while dilated windows measure
-    # 30-61 s; numpy probes alone labeled 2.6x-dilated pairs "capable").
-    # A ratio taken while the hypervisor caps the workload measures the
-    # host, not the engine; this median says what the ENGINE does when
-    # the machine can run it. Disclosed, never the primary: all pairs
-    # stay in the artifact and scaling_efficiency remains the unfiltered
-    # median.
-    hw_gate = float(os.environ.get("MEE_BENCH_QUIET_HW", "0.92"))
+    # run the workload at speed — see pair_capable's docstring for the
+    # four host-evidence conditions (hw ceiling both ends, Spark canary
+    # at start, all leg warmups present and within the absolute-anchored
+    # ratio). A ratio taken while the hypervisor caps the workload
+    # measures the host, not the engine; this median says what the ENGINE
+    # does when the machine can run it. Disclosed, never the primary: all
+    # pairs stay in the artifact and scaling_efficiency remains the
+    # unfiltered median.
     pair_wu = [
         min((r["warmup_sec"] for r in p.get("runs_4n_all", [])
              if "warmup_sec" in r), default=None)
         for p in pairs]
-    wu_best = min((w for w in pair_wu if w is not None), default=None)
-    capable = [
-        p["efficiency"] for p, wu in zip(pairs, pair_wu)
-        if p.get("hw_parallel_scaling", 0) >= hw_gate
-        and p.get("hw_parallel_scaling_end", 0) >= hw_gate
-        and (wu is None or wu_best is None or wu <= 1.25 * wu_best)]
-    norm_effs = [p["efficiency_hw_normalized"] for p in pairs
-                 if p.get("efficiency_hw_normalized") is not None]
-    hw_ceilings = [p["hw_parallel_scaling"] for p in pairs
-                   if p.get("hw_parallel_scaling")]
+    wu_refs = _wu_refs(pairs)
+    capable = [p["efficiency"] for p in pairs
+               if pair_capable(p, wu_refs, hw_gate_thr)]
     best_pair = max(pairs, key=lambda p: p["runs"][str(SCALING_4N)]["docs_per_sec"])
     lo, hi = best_pair["runs"][str(SCALING_N)], best_pair["runs"][str(SCALING_4N)]
     qrun = next((r for p in pairs for r in p.get("runs_4n_all", [])
@@ -670,7 +896,7 @@ def main() -> None:
     sym_effs = [p["efficiency_symmetric"] for p in pairs
                 if p.get("efficiency_symmetric") is not None]
     headline = {
-        "metric": "index-build docs/sec + BM25 topk latency + scaling efficiency",
+        "metric": "index-build docs/s + query latency + scaling eff",
         "value": total,
         "unit": "sec",
         "sf": SF_DIR,
@@ -681,24 +907,36 @@ def main() -> None:
         "scaling_efficiency": round(eff_median, 3),
         "scaling_efficiency_best_pair": round(max(effs), 3) if effs else None,
         "scaling_efficiency_symmetric": round(_median(sym_effs), 3) if sym_effs else None,
-        "scaling_efficiency_hw_normalized": round(_median(norm_effs), 3) if norm_effs else None,
         "scaling_efficiency_capable_windows": round(_median(capable), 3) if capable else None,
         "n_capable_pairs": len(capable),
         "pair_efficiencies": effs,
         "dropped_pairs": dropped_pairs,
-        "hw_parallel_scaling_median": round(_median(hw_ceilings), 3) if hw_ceilings else None,
         # per-pair best 4N warmup seconds — the in-run Spark-shaped
         # dilation reference (quiet ~20 s at the default 50k warmup; pair
         # efficiency is near-monotone in this column, see BENCH/BASELINE.md
         # round-4). Lets a reader attribute sub-gate pairs to host
         # dilation straight from the headline.
-        "t8_warmup_sec_per_pair": pair_wu,
+        "t8_warmup_sec_per_pair": [round(w, 1) if w is not None else None
+                                   for w in pair_wu],
+        # per-pair Spark canary (round-5 gate): fixed 50k-doc build in a
+        # short-lived JVM before each pair — the only probe that sees the
+        # host's Spark-only dilation mode; ok = within CANARY_RATIO of
+        # the absolute-anchored reference when the pair started
+        "spark_canary_sec_per_pair": [
+            round(p["spark_canary_sec"], 1)
+            if p.get("spark_canary_sec") is not None else None
+            for p in pairs],
+        "query_warmup_pass_sec": query_warmup_pass_sec,
+        "spark_canary_query_phase_sec": q_gate.get("spark_canary_sec"),
         "host_busy_query_phase": q_load,
         "detail": "BENCH/last_run_full.json",
     }
     detail = headline | {
         "scaling": {f"local[{SCALING_N}]": lo, f"local[{SCALING_4N}]": hi,
-                    "pair_plan": PAIR_PLAN, "pairs": pairs},
+                    "pair_plan": plan, "pairs": pairs,
+                    "wu_refs": {str(k): (round(v, 2) if v != float("inf")
+                                         else None)
+                                for k, v in wu_refs.items()}},
         "host_loadavg": {"start": load_start, "end": load_end,
                          "query_phase_busy_then_loadavg": [q_load, q_load_end]},
     }

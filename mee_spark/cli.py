@@ -87,11 +87,40 @@ def cmd_query(args) -> None:
 
 def cmd_compact(args) -> None:
     from mee_spark import manifest as mf
-    from mee_spark.merge import compact
+    from mee_spark.merge import compact, compaction_due, maybe_compact
 
+    if args.if_needed:
+        # policy probe first: metadata-only, so the common "chain is
+        # healthy" case never pays a SparkSession
+        decision = compaction_due(
+            args.index, max_chain_len=args.max_chain,
+            max_tombstone_ratio=args.max_tombstone_ratio)
+        if not decision["due"]:
+            print(json.dumps({"compacted": False} | decision))
+            return
+        spark = make_session("mee-compact", args.partitions)
+        if not mf.acquire_lock(args.index):
+            sys.exit("another writer holds the index lock (_LOCK)")
+        try:
+            m = maybe_compact(spark, args.index, cfg_from_args(args),
+                              max_chain_len=args.max_chain,
+                              max_tombstone_ratio=args.max_tombstone_ratio)
+        finally:
+            mf.release_lock(args.index)
+        if m is None:  # raced: another maintainer compacted between probes
+            print(json.dumps({"compacted": False} | decision))
+            return
+        print(json.dumps({"compacted": True} | m["metrics"]
+                         | {"generation": m["generation"]}))
+        return
     spark = make_session("mee-compact", args.partitions)
-    gen = (mf.current_gen(args.index) or 0) + 1
-    m = compact(spark, args.index, cfg_from_args(args), new_gen=gen)
+    if not mf.acquire_lock(args.index):
+        sys.exit("another writer holds the index lock (_LOCK)")
+    try:
+        gen = (mf.current_gen(args.index) or 0) + 1
+        m = compact(spark, args.index, cfg_from_args(args), new_gen=gen)
+    finally:
+        mf.release_lock(args.index)
     print(json.dumps(m["metrics"] | {"generation": m["generation"]}))
 
 
@@ -149,6 +178,11 @@ def main(argv: list[str] | None = None) -> None:
     q.set_defaults(fn=cmd_query)
 
     c = sub.add_parser("compact"); common(c)
+    c.add_argument("--if-needed", action="store_true",
+                   help="compact only when the manifest-driven policy "
+                        "fires (chain length / tombstone ratio)")
+    c.add_argument("--max-chain", type=int, default=8)
+    c.add_argument("--max-tombstone-ratio", type=float, default=0.2)
     c.set_defaults(fn=cmd_compact)
 
     r = sub.add_parser("reset"); common(r)

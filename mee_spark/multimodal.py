@@ -18,8 +18,13 @@ Decode policy, honestly tiered:
   * **RIFF/WAVE (PCM16) audio — REAL decode**, stdlib ``wave``: genuine
     sample extraction, per-frame RMS, and a pure-numpy linear resampler
     (``decode_wav`` / ``audio_frames`` / ``resample_audio``).
-  * **Codec formats (JPEG/mp3/video) — STUBBED**: libjpeg/ffmpeg
-    bindings are not in this container; ``decode_image`` raises
+  * **Baseline JPEG (JFIF) — REAL decode** (round-5), pure numpy +
+    stdlib in ``mee_spark.jpeg``: marker parse, Huffman entropy decode
+    with restart markers, dequantize, 8x8 IDCT, chroma upsampling,
+    YCbCr→RGB; a minimal real encoder exists for round-trip tests.
+    Progressive/arithmetic/12-bit raise honestly.
+  * **mp3/video — STUBBED**: these genuinely need codec libraries
+    (ffmpeg/mad) absent from this container; ``decode_image`` raises
     NotImplementedError for them unless the deterministic fake is
     selected. The fake parses our synthetic header format so pipeline
     shape tests stay runnable anywhere.
@@ -280,17 +285,37 @@ def resize_image(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     return img[ys][:, xs]
 
 
+def make_jpeg_payload(media_id: int, w: int, h: int) -> bytes:
+    """Deterministic real baseline-JPEG payload (seeded smooth content —
+    gradients survive lossy coding, so tests can bound pixel error)."""
+    from mee_spark.jpeg import encode_jpeg
+
+    rng = np.random.default_rng(media_id)
+    yy = np.linspace(0, 255, h)[:, None]
+    xx = np.linspace(0, 255, w)[None, :]
+    phase = rng.uniform(0, 2 * np.pi, 3)
+    img = np.stack([
+        np.clip(128 + 100 * np.sin(yy / 40 + xx / 60 + p), 0, 255)
+        for p in phase], axis=2).astype(np.uint8)
+    return encode_jpeg(img, quality=92)
+
+
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     """payload -> HxWx3 uint8 array.
 
-    Dispatch: P6 PPM and PNG decode FOR REAL (numpy / stdlib zlib); the
-    MEEFAKE synthetic format decodes when ``fake`` is selected; remaining
-    codec formats (JPEG) are stubbed — they need libjpeg/PIL, absent in
-    this container."""
+    Dispatch: P6 PPM, PNG, and baseline JPEG decode FOR REAL (numpy /
+    stdlib zlib; JPEG via mee_spark.jpeg — Huffman + dequant + IDCT +
+    YCbCr, round-5); the MEEFAKE synthetic format decodes when ``fake``
+    is selected; progressive/arithmetic JPEG raise inside decode_jpeg,
+    and anything unrecognized raises here."""
     if payload.startswith(b"P6"):
         return decode_ppm(payload)
     if payload.startswith(_PNG_SIG):
         return decode_png(payload)
+    if payload.startswith(b"\xFF\xD8"):
+        from mee_spark.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     if payload.startswith(_MAGIC):
         if not fake:
             raise NotImplementedError(
@@ -299,8 +324,8 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
         rng = np.random.default_rng(mid)
         return rng.integers(0, 256, (max(h, 1), max(w, 1), 3), dtype=np.uint8)
     raise NotImplementedError(
-        "codec image formats (JPEG/...) require PIL/libjpeg — not "
-        "available in this container; PPM and PNG decode natively")
+        "unrecognized image payload (PPM/PNG/baseline JPEG decode "
+        "natively; mp3/video codecs require libs absent here)")
 
 
 def image_features(media: DataFrame, fake: bool = True,

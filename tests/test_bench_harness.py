@@ -21,8 +21,10 @@ def _representative_headline() -> dict:
     # worst-ish case values: every query present with 3-decimal timings,
     # all optional fields populated, 5 pair efficiencies
     queries = {name: 123.456 for name in bench.TIMED_QUERIES}
+    # worst case: the full 8-pair plan (5 base + 3 host-conditioned
+    # extensions) so every per-pair evidence list carries 8 entries
     return {
-        "metric": "index-build docs/sec + BM25 topk latency + scaling efficiency",
+        "metric": "index-build docs/s + query latency + scaling eff",
         "value": 12345.67,
         "unit": "sec",
         "sf": "/root/testdata/sf0.1",
@@ -33,13 +35,17 @@ def _representative_headline() -> dict:
         "scaling_efficiency": 0.875,
         "scaling_efficiency_best_pair": 0.918,
         "scaling_efficiency_symmetric": 0.851,
-        "scaling_efficiency_hw_normalized": 0.909,
         "scaling_efficiency_capable_windows": 0.944,
         "n_capable_pairs": 3,
-        "pair_efficiencies": [0.918, 0.733, 0.823, 0.875, 0.911],
+        "pair_efficiencies": [0.918, 0.733, 0.823, 0.875, 0.911,
+                              0.844, 0.902, 0.888],
         "dropped_pairs": 0,
-        "hw_parallel_scaling_median": 0.979,
-        "t8_warmup_sec_per_pair": [21.8, 23.47, 34.75, 30.28, 21.31],
+        "t8_warmup_sec_per_pair": [21.8, 23.4, 34.7, 30.2, 21.3,
+                                   22.1, 20.9, 23.8],
+        "spark_canary_sec_per_pair": [21.8, 23.4, 34.7, 30.2, 21.3,
+                                      22.1, 20.9, 23.8],
+        "query_warmup_pass_sec": 123.45,
+        "spark_canary_query_phase_sec": 21.84,
         "host_busy_query_phase": 0.123,
         "detail": "BENCH/last_run_full.json",
     }
@@ -81,3 +87,82 @@ def test_budget_cut_boundary_exact_fit():
     # projection exactly equal to budget is NOT a cut (<= fits)
     cut, _, projected = bench.budget_cut_decision(2160.0, 4, 2700.0)
     assert projected == 2700.0 and not cut
+
+
+# ----------------------------------------------------- capable-window filter
+
+def _leg(cores, wu):
+    rec = {"cores": cores, "build_sec": 50.0, "docs_per_sec": 12000.0}
+    if wu is not None:
+        rec["warmup_sec"] = wu
+    return rec
+
+
+def _pair(hw_start=0.96, hw_end=0.95, canary_ok=True, wu_4n=(20.5, 21.0),
+          wu_n=43.0, canary_attempts=(20.5,)):
+    return {
+        "hw_parallel_scaling": hw_start,
+        "hw_parallel_scaling_end": hw_end,
+        "spark_canary_ok": canary_ok,
+        "spark_canary_attempts": list(canary_attempts),
+        "runs_4n_all": [_leg(bench.SCALING_4N, w) for w in wu_4n],
+        "runs": {str(bench.SCALING_N): _leg(bench.SCALING_N, wu_n)},
+        "efficiency": 0.85,
+    }
+
+
+def test_pair_capable_happy_path():
+    p = _pair()
+    refs = bench._wu_refs([p])
+    assert bench.pair_capable(p, refs, 0.92)
+
+
+def test_pair_capable_requires_canary_ok():
+    p = _pair(canary_ok=False)
+    refs = bench._wu_refs([p])
+    assert not bench.pair_capable(p, refs, 0.92)
+
+
+def test_pair_capable_missing_warmup_is_not_capable():
+    # round-4 advice: absent warmup data must mean NOT capable, never
+    # vacuously capable
+    p = _pair(wu_4n=(None, 21.0))
+    refs = bench._wu_refs([p])
+    assert not bench.pair_capable(p, refs, 0.92)
+
+
+def test_pair_capable_hw_end_gate():
+    p = _pair(hw_end=0.88)
+    refs = bench._wu_refs([p])
+    assert not bench.pair_capable(p, refs, 0.92)
+
+
+def test_pair_capable_dilated_leg_warmup_fails():
+    # one 4N leg's warmup at 2x the quiet reference -> mid-pair dilation
+    p = _pair(wu_4n=(20.5, 41.0))
+    refs = bench._wu_refs([p])
+    assert not bench.pair_capable(p, refs, 0.92)
+
+
+def test_pair_capable_n_leg_warmup_fails():
+    p = _pair(wu_n=60.0)  # t2 quiet ref ~43-44 s
+    refs = bench._wu_refs([p])
+    assert not bench.pair_capable(p, refs, 0.92)
+
+
+def test_wu_refs_absolute_anchor_defeats_dilated_session():
+    # a session dilated END TO END: every observed warmup is ~2x quiet.
+    # The absolute anchor (22 s for 4N, 44 s for N) keeps the reference
+    # honest, so a fully-dilated pair is NOT capable even though it
+    # matches the session's own (dilated) best — the round-4 advice hole.
+    p = _pair(wu_4n=(40.0, 41.0), wu_n=85.0, canary_attempts=(40.0,))
+    refs = bench._wu_refs([p])
+    assert refs[bench.SCALING_4N] == 22.0
+    assert refs[bench.SCALING_N] == 44.0
+    assert not bench.pair_capable(p, refs, 0.92)
+
+
+def test_wu_refs_canary_attempts_feed_4n_reference():
+    p = _pair(wu_4n=(25.0, 26.0), canary_attempts=(19.0, 25.0))
+    refs = bench._wu_refs([p])
+    assert refs[bench.SCALING_4N] == 19.0

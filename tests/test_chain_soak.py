@@ -114,3 +114,106 @@ def test_generation_ordering_guards(spark, tmp_path_factory):
         build_incremental(spark, snap, CFG, d, gen=5, use_html=False)
     with pytest.raises(ValueError, match="must exceed"):
         compact(spark, d, CFG, new_gen=3)
+
+
+# ------------------------------------------------- auto-compaction policy
+
+def test_compaction_due_metadata_only(tmp_path):
+    """Policy decision from manifest metadata alone — no SparkSession."""
+    from mee_spark import manifest as mf
+    from mee_spark.merge import compaction_due
+
+    d = str(tmp_path)
+    mf.write_manifest(d, 1, parent=None, n_docs_live=1000, sum_dl_live=5000,
+                      metrics={"kind": "full"}, lineage={})
+    mf.publish(d, 1)
+    dec = compaction_due(d, max_chain_len=3, max_tombstone_ratio=0.2)
+    assert not dec["due"] and dec["chain_len"] == 1
+
+    # churn accumulates: changed docs count as tombstones (they are
+    # tombstone + re-add on the read path)
+    mf.write_manifest(d, 2, parent=1, n_docs_live=1000, sum_dl_live=5000,
+                      metrics={"kind": "incremental", "docs_changed": 100,
+                               "docs_deleted": 150}, lineage={})
+    mf.publish(d, 2)
+    dec = compaction_due(d, max_chain_len=3, max_tombstone_ratio=0.2)
+    assert dec["due"] and dec["tombstone_ratio"] == 0.25
+    assert any("tombstone_ratio" in r for r in dec["reasons"])
+
+    # chain-length trigger, ratio relaxed
+    mf.write_manifest(d, 3, parent=2, n_docs_live=1000, sum_dl_live=5000,
+                      metrics={"kind": "incremental", "docs_changed": 0,
+                               "docs_deleted": 0}, lineage={})
+    mf.write_manifest(d, 4, parent=3, n_docs_live=1000, sum_dl_live=5000,
+                      metrics={"kind": "incremental", "docs_changed": 0,
+                               "docs_deleted": 0}, lineage={})
+    mf.publish(d, 4)
+    dec = compaction_due(d, max_chain_len=3, max_tombstone_ratio=10.0)
+    assert dec["due"] and dec["chain_len"] == 4
+    assert any("chain_len" in r for r in dec["reasons"])
+
+    # a compaction manifest has parent=None -> counters reset
+    mf.write_manifest(d, 5, parent=None, n_docs_live=1000, sum_dl_live=5000,
+                      metrics={"kind": "compaction"}, lineage={})
+    mf.publish(d, 5)
+    dec = compaction_due(d, max_chain_len=3, max_tombstone_ratio=0.2)
+    assert not dec["due"] and dec["chain_len"] == 1 and dec["n_tombstones"] == 0
+
+
+@pytest.mark.slow
+def test_auto_compaction_soak(spark, tmp_path_factory):
+    """The maintenance path a long-lived deployment runs after every
+    incremental batch: maybe_compact() stays quiet while the chain is
+    healthy, fires when the chain-length knob trips, and the compacted
+    index is hash-identical to a fresh full rebuild of the same state
+    (the invariant the fulltext_compacted oracle pins at the value level)."""
+    from mee_spark import manifest as mf
+    from mee_spark.merge import maybe_compact
+
+    rng = np.random.default_rng(77)
+    base = gen_pages_for_indices(range(300))
+    state = dict(zip(base["url"], base["text"]))
+    d = str(tmp_path_factory.mktemp("autocompact"))
+    build_full_index(spark, _snapshot_df(spark, state), CFG, d,
+                     gen=1, use_html=False)
+    queries = gen_queries(spark, 15)
+
+    fired_at = None
+    for g in (2, 3, 4):
+        for u in rng.choice(sorted(state), size=10, replace=False):
+            state[u] = state[u] + f" edit{g}"
+        build_incremental(spark, _snapshot_df(spark, state), CFG, d,
+                          gen=g, use_html=False)
+        m = maybe_compact(spark, d, CFG, max_chain_len=3,
+                          max_tombstone_ratio=10.0)
+        if m is not None:
+            fired_at = g
+            assert m["metrics"]["policy"]["due"]
+            assert any("chain_len" in r
+                       for r in m["metrics"]["policy"]["reasons"])
+    # chain lengths: after g=2 -> 2, g=3 -> 3 (not > 3), g=4 -> 4 -> fires
+    assert fired_at == 4
+    cur = mf.current_gen(d)
+    assert len(mf.manifest_chain(d)) == 1  # compaction reset the chain
+
+    full_dir = str(tmp_path_factory.mktemp("autocompact_full"))
+    build_full_index(spark, _snapshot_df(spark, state), CFG, full_dir,
+                     gen=1, use_html=False)
+    got = _ranked_by_url(spark, d, queries, [cur])
+    want = _ranked_by_url(spark, full_dir, queries, [1])
+    assert got == want, "policy compaction changed query results"
+
+    # heavy churn trips the tombstone-ratio trigger even on a short chain
+    for u in rng.choice(sorted(state), size=len(state) // 2, replace=False):
+        state[u] = state[u] + " churn"
+    build_incremental(spark, _snapshot_df(spark, state), CFG, d,
+                      gen=cur + 1, use_html=False)
+    m = maybe_compact(spark, d, CFG, max_chain_len=100,
+                      max_tombstone_ratio=0.2)
+    assert m is not None
+    assert any("tombstone_ratio" in r for r in m["metrics"]["policy"]["reasons"])
+    got = _ranked_by_url(spark, d, queries, [mf.current_gen(d)])
+    full2 = str(tmp_path_factory.mktemp("autocompact_full2"))
+    build_full_index(spark, _snapshot_df(spark, state), CFG, full2,
+                     gen=1, use_html=False)
+    assert got == _ranked_by_url(spark, full2, queries, [1])

@@ -71,10 +71,14 @@ def media(spark):
 
 
 def test_codec_decode_is_stubbed_honestly():
-    # MEEFAKE without fake mode, and codec formats, both refuse loudly
+    # MEEFAKE without fake mode, and unknown formats, both refuse loudly
     with pytest.raises(NotImplementedError):
         decode_image(make_fake_payload(1, "image", 8, 8), fake=False)
     with pytest.raises(NotImplementedError):
+        decode_image(b"ID3\x03mp3-ish-data", fake=True)
+    # JPEG now dispatches to the REAL decoder (round-5); a corrupt JPEG
+    # is a malformed-input ValueError, not a stub
+    with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0jpegdata", fake=True)
 
 
@@ -353,3 +357,116 @@ def test_png_thumbnails_distributed(spark):
         ys = (np.arange(4) * 3).clip(0, 11)
         xs = (np.arange(4) * 4).clip(0, 15)
         assert (thumb == full[ys][:, xs]).all()
+
+
+# ----------------------------------------------------------- baseline JPEG
+
+def test_jpeg_flat_roundtrip_exact():
+    """A uniform image is DC-only — lossy JPEG must reproduce it exactly."""
+    import numpy as np
+
+    from mee_spark.jpeg import decode_jpeg, encode_jpeg
+
+    img = np.full((16, 24, 3), 128, dtype=np.uint8)
+    assert (decode_jpeg(encode_jpeg(img, quality=90)) == img).all()
+    img2 = np.full((8, 8, 3), 200, dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(img2, quality=90))
+    assert np.abs(out.astype(int) - 200).max() <= 1
+
+
+def test_jpeg_roundtrip_bounded_error_and_subsampling():
+    import numpy as np
+
+    from mee_spark.jpeg import decode_jpeg, encode_jpeg
+
+    # photo-like content: detailed luma, SMOOTH chroma (4:2:0 halves
+    # chroma bandwidth by design, so fast-oscillating per-channel phases
+    # would measure the format's intended loss, not codec bugs)
+    yy = np.linspace(0, 255, 24)[:, None]
+    xx = np.linspace(0, 255, 40)[None, :]
+    luma = 128 + 80 * np.sin(yy / 30 + xx / 50)
+    tint = 30 * np.sin(xx / 120)  # slow color variation
+    img = np.clip(np.stack([luma + tint, luma, luma - tint], axis=2),
+                  0, 255).astype(np.uint8)
+    for ss, mean_bound in (("4:4:4", 3.0), ("4:2:0", 5.0)):
+        out = decode_jpeg(encode_jpeg(img, quality=92, subsampling=ss))
+        err = np.abs(out.astype(int) - img.astype(int))
+        assert out.shape == img.shape
+        assert err.mean() < mean_bound and err.max() < 40, (
+            ss, err.mean(), err.max())
+    # odd (non-multiple-of-8/16) dimensions decode to the exact frame size
+    odd = img[:13, :17]
+    for ss in ("4:4:4", "4:2:0"):
+        assert decode_jpeg(encode_jpeg(odd, subsampling=ss)).shape == odd.shape
+
+
+def test_jpeg_restart_markers():
+    import numpy as np
+
+    from mee_spark.jpeg import decode_jpeg, encode_jpeg
+
+    yy = np.linspace(0, 255, 32)[:, None]
+    img = np.repeat(np.clip(yy + np.arange(48)[None, :], 0, 255)
+                    .astype(np.uint8)[:, :, None], 3, axis=2)
+    plain = encode_jpeg(img, quality=95)
+    with_rst = encode_jpeg(img, quality=95, restart_interval=2)
+    assert b"\xFF\xDD" in with_rst and b"\xFF\xDD" not in plain
+    assert (decode_jpeg(with_rst) == decode_jpeg(plain)).all()
+
+
+def test_jpeg_spec_vector_hand_assembled():
+    """Bitstream built BY HAND from T.81 (no shared encoder path): one
+    grayscale 8x8 block, quant[0]=16, DC category 3 value +4, EOB.
+    Dequantized DC = 64; IDCT of a DC-only block is flat 64/8 = 8;
+    level-shift +128 -> every pixel exactly 136."""
+    import struct
+
+    import numpy as np
+
+    from mee_spark.jpeg import decode_jpeg
+
+    def seg(marker, body):
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes([16] * 64))
+    sof = seg(0xC0, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    # DC table: single symbol (category 3) with a 1-bit code '0'
+    dht_dc = seg(0xC4, bytes([0x00]) + bytes([1] + [0] * 15) + bytes([3]))
+    # AC table: single symbol (EOB 0x00) with a 1-bit code '0'
+    dht_ac = seg(0xC4, bytes([0x10]) + bytes([1] + [0] * 15) + bytes([0x00]))
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    # entropy bits: DC huff '0', receive(3) = '100' (+4), AC huff '0' (EOB)
+    # -> 01000 + pad 1s -> 0b01000111 = 0x47
+    payload = (b"\xFF\xD8" + dqt + sof + dht_dc + dht_ac + sos
+               + bytes([0x47]) + b"\xFF\xD9")
+    out = decode_jpeg(payload)
+    assert out.shape == (8, 8, 3)
+    assert (out == 136).all()
+
+
+def test_jpeg_honest_failures_and_dispatch():
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from mee_spark.jpeg import decode_jpeg, encode_jpeg
+    from mee_spark.multimodal import decode_image, make_jpeg_payload
+
+    good = encode_jpeg(np.full((8, 8, 3), 50, dtype=np.uint8))
+    # progressive (SOF2) raises NotImplementedError, not garbage
+    prog = bytearray(good)
+    idx = prog.find(b"\xFF\xC0")
+    prog[idx + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg(bytes(prog))
+    # truncated entropy data raises ValueError
+    with pytest.raises(ValueError):
+        decode_jpeg(good[:-8] + b"\xFF\xD9")
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x00\x01")
+    # decode_image dispatches on the FFD8 magic; fixture payload is real
+    p = make_jpeg_payload(7, 24, 16)
+    img = decode_image(p)
+    assert img.shape == (16, 24, 3) and img.dtype == np.uint8
+    assert img.std() > 10  # real content, not a flat fake
