@@ -370,6 +370,20 @@ def q_dedup_winnow(spark, sf_dir):
                             k=16, window=4, min_shared=5, max_fp_df=64)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Connected components over the winnow near-dup pairs: the cluster
+    assignment step a retention policy actually consumes (pairs alone
+    leave transitive duplicates alive). cluster_id = min doc_id of the
+    component; oracle = DuckDB recursive-CTE transitive closure over the
+    IDENTICAL pair set."""
+    from mee_spark.dedup import dup_connected_components
+    from mee_spark.textops import winnow_dup_pairs
+
+    pairs = winnow_dup_pairs(_read(spark, sf_dir, "documents"),
+                             k=16, window=4, min_shared=5, max_fp_df=64)
+    return dup_connected_components(pairs)
+
+
 def q_pipeline_curate(spark, sf_dir):
     """The composed training-data curation pipeline: keep docs that are
     (a) the exact-dedup survivor of their fingerprint group, (b) predicted
@@ -1016,6 +1030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "text_winnow": q_text_winnow,
         "dedup_winnow": q_dedup_winnow,
+        "dedup_clusters": q_dedup_clusters,
         "pipeline_curate": q_pipeline_curate,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1109,6 +1124,21 @@ FROM t LEFT JOIN agg a USING (doc_id)
 """,
         "text_winnow": _WINNOW_SQL,
         "dedup_winnow": _WINNOW_PAIRS_SQL,
+        # transitive closure of the symmetric pair graph; cluster_id =
+        # least reachable doc_id (matches min-label propagation exactly)
+        "dedup_clusters": f"""
+WITH RECURSIVE pairs AS ({_WINNOW_PAIRS_SQL}),
+edges AS (SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+          UNION SELECT doc_id_b, doc_id_a FROM pairs),
+reach(src, dst) AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src::BIGINT AS doc_id,
+       least(src, min(dst))::BIGINT AS cluster_id
+FROM reach GROUP BY src
+""",
         "pipeline_curate": _curate_sql(),
         "dedup_exact": f"""
 WITH d AS (SELECT doc_id::BIGINT AS doc_id,

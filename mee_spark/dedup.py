@@ -303,3 +303,66 @@ def simhash_pairs_banded(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
         "doc_id_a", "doc_id_b",
         F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("long").alias("hamming"),
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def dup_connected_components(pairs: DataFrame, a_col: str = "doc_id_a",
+                             b_col: str = "doc_id_b",
+                             max_iter: int = 20) -> DataFrame:
+    """(doc_id, cluster_id) — connected components over near-dup PAIRS:
+    the step every production dedup pipeline needs after pair generation
+    (minhash/simhash/winnow emit edges; retention decisions need whole
+    clusters, or transitive duplicates survive: a~b, b~c keeps both a
+    and c if you only drop pairwise). cluster_id = min doc_id in the
+    component, so "keep the cluster representative" is a filter.
+
+    Spark-first iterative min-label propagation with POINTER JUMPING:
+    each round takes the min label over graph neighbors, then follows
+    label→label-of-label, giving O(log diameter) rounds (the alternating
+    large-star/small-star idea from the MapReduce CC literature). A
+    driver loop is the honest shape for an iterative fixpoint — each
+    iteration is a fully distributed pair of shuffles, and the loop
+    carries only a scalar changed-count. Per-iteration localCheckpoint
+    truncates lineage (iterative self-joins otherwise grow the plan
+    exponentially) and bounds recomputation.
+
+    100-TB shape: edges shuffle on node id (uniform); the neighbor-min
+    groupBy partial-aggregates map-side, so hub docs (one doc paired
+    with thousands of boilerplate near-dups) are absorbed by combiners
+    rather than skewing a reducer. Dup components in web corpora have
+    tiny diameters, so rounds ≈ 3-5 in practice; ``max_iter`` bounds the
+    adversarial chain case and convergence is detected exactly (changed
+    count == 0), never assumed."""
+    edges = (pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+             .union(pairs.select(F.col(b_col).alias("src"),
+                                 F.col(a_col).alias("dst")))
+             .distinct().localCheckpoint())
+    labels = (edges.select(F.col("src").alias("node")).distinct()
+              .withColumn("label", F.col("node")).localCheckpoint())
+    for _ in range(max_iter):
+        nbr_min = (edges.join(labels, edges["dst"] == labels["node"])
+                   .groupBy("src").agg(F.min("label").alias("nbr_label")))
+        stepped = (labels.join(nbr_min, labels["node"] == nbr_min["src"],
+                               "left")
+                   .select(labels["node"],
+                           F.least(labels["label"],
+                                   F.coalesce(nbr_min["nbr_label"],
+                                              labels["label"]))
+                           .alias("label")))
+        # pointer jump: label <- label(label); components collapse toward
+        # their minimum in logarithmic rounds instead of linear
+        lab2 = stepped.select(F.col("node").alias("n2"),
+                              F.col("label").alias("l2"))
+        jumped = (stepped.join(lab2, stepped["label"] == lab2["n2"], "left")
+                  .select(stepped["node"],
+                          F.least(stepped["label"],
+                                  F.coalesce(lab2["l2"], stepped["label"]))
+                          .alias("label"))
+                  .localCheckpoint())
+        changed = (jumped.alias("j")
+                   .join(labels.alias("o"), F.col("j.node") == F.col("o.node"))
+                   .filter(F.col("j.label") != F.col("o.label")).count())
+        labels = jumped
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"),
+                         F.col("label").alias("cluster_id"))

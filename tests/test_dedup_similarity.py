@@ -275,3 +275,49 @@ def test_lsh_udf_degenerate_inputs_match_fold(spark):
     empty = emb.filter("vec_id < 0").select(
         lsh_bucket_udf_col(F.col("embedding"), planes).alias("b"))
     assert empty.count() == 0
+
+
+# ------------------------------------------------- connected components
+
+def test_connected_components_basic(spark):
+    """Chain + separate pair + triangle: labels converge to the min doc_id
+    of each component; docs not in any pair don't appear."""
+    from mee_spark.dedup import dup_connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3),          # chain -> {1,2,3} labeled 1
+         (10, 11),                # pair -> labeled 10
+         (20, 21), (21, 22), (20, 22)],  # triangle -> labeled 20
+        "doc_id_a long, doc_id_b long")
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in dup_connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 33-node path is the adversarial diameter case: pointer jumping
+    must collapse it within the iteration bound (linear propagation alone
+    would need 32 rounds)."""
+    from mee_spark.dedup import dup_connected_components
+
+    n = 33
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 100 + n - 1)],
+        "doc_id_a long, doc_id_b long")
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in dup_connected_components(pairs, max_iter=8).collect()}
+    assert got == {100 + i: 100 for i in range(n)}
+
+
+def test_connected_components_hub(spark):
+    """Hub topology (one doc near-dup to many — the boilerplate case):
+    single round convergence, min label wins regardless of edge order."""
+    from mee_spark.dedup import dup_connected_components
+
+    pairs = spark.createDataFrame(
+        [(500, x) for x in range(490, 499)],  # hub 500, spokes 490..498
+        "doc_id_a long, doc_id_b long")
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in dup_connected_components(pairs).collect()}
+    assert set(got.values()) == {490}
+    assert len(got) == 10
