@@ -360,6 +360,22 @@ def q_text_winnow(spark, sf_dir):
     return winnow_fingerprints(_read(spark, sf_dir, "documents"), k=8, window=4)
 
 
+def q_text_source_stats(spark, sf_dir):
+    """Per-source curation rollup (domain-level filtering): one shuffle,
+    map-side combined, integer sums only."""
+    from mee_spark.textops import source_stats
+
+    return source_stats(_read(spark, sf_dir, "documents"))
+
+
+def q_text_token_quantiles(spark, sf_dir):
+    """Per-lang exact token-count quantiles (sequence-length budgeting);
+    Spark percentile ≡ DuckDB quantile_cont (type-7 interpolation)."""
+    from mee_spark.textops import token_quantiles
+
+    return token_quantiles(_read(spark, sf_dir, "documents"))
+
+
 def q_dedup_winnow(spark, sf_dir):
     from mee_spark.textops import winnow_dup_pairs
 
@@ -403,6 +419,44 @@ def q_pipeline_curate(spark, sf_dir):
         .filter((F.col("lang_pred") == "en") & (F.col("quality_ppm") >= 450_000))
         .select("doc_id", "n_dupes", "quality_ppm", "lang_pred")
     )
+
+
+def _source_stats_sql() -> str:
+    from mee_spark.textops import ALL_STOPWORDS
+
+    sw = _sql_stoplist(ALL_STOPWORDS)
+    return f"""
+WITH d AS (SELECT source, lang, text, {_toks('text')} AS toks FROM documents),
+m AS (SELECT source, lang,
+  len(toks)::BIGINT AS n_tokens,
+  length(text)::BIGINT AS n_chars,
+  len(list_filter(toks, x -> list_contains({sw}, x)))::BIGINT AS stop_hits,
+  length(regexp_replace(text, '[^0-9A-Za-z]', '', 'g'))::BIGINT AS alnum
+FROM d),
+p AS (SELECT source, lang, n_tokens, n_chars,
+  floor(stop_hits * 1000000 / greatest(n_tokens, 1))::BIGINT AS stopword_ppm,
+  floor(alnum * 1000000 / greatest(n_chars, 1))::BIGINT AS alnum_ppm,
+  least(n_tokens, 100) * 10000 AS lencap_ppm
+FROM m)
+SELECT source, count(*)::BIGINT AS n_docs,
+  count(DISTINCT lang)::BIGINT AS n_langs,
+  sum(n_tokens)::BIGINT AS sum_tokens,
+  sum(n_chars)::BIGINT AS sum_chars,
+  sum(floor((lencap_ppm * 2 + stopword_ppm + alnum_ppm) / 4)::BIGINT)::BIGINT
+      AS sum_quality_ppm
+FROM p GROUP BY source
+"""
+
+
+_TOKEN_QUANTILES_SQL = f"""
+WITH t AS (SELECT lang, len({_toks('text')})::BIGINT AS n_tokens
+           FROM documents)
+SELECT lang, count(*)::BIGINT AS n_docs,
+  round(quantile_cont(n_tokens, 0.25), 6) AS p25_tokens,
+  round(quantile_cont(n_tokens, 0.50), 6) AS p50_tokens,
+  round(quantile_cont(n_tokens, 0.75), 6) AS p75_tokens
+FROM t GROUP BY lang
+"""
 
 
 def _sql_stoplist(words) -> str:
@@ -1029,6 +1083,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_stats": q_text_bpe_stats,
         "text_repetition": q_text_repetition,
         "text_winnow": q_text_winnow,
+        "text_source_stats": q_text_source_stats,
+        "text_token_quantiles": q_text_token_quantiles,
         "dedup_winnow": q_dedup_winnow,
         "dedup_clusters": q_dedup_clusters,
         "pipeline_curate": q_pipeline_curate,
@@ -1123,6 +1179,8 @@ SELECT t.doc_id, t.n_tokens,
 FROM t LEFT JOIN agg a USING (doc_id)
 """,
         "text_winnow": _WINNOW_SQL,
+        "text_source_stats": _source_stats_sql(),
+        "text_token_quantiles": _TOKEN_QUANTILES_SQL,
         "dedup_winnow": _WINNOW_PAIRS_SQL,
         # transitive closure of the symmetric pair graph; cluster_id =
         # least reachable doc_id (matches min-label propagation exactly)

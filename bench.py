@@ -20,10 +20,15 @@ Scaling protocol (hard-won; see BENCH/BASELINE.md):
     local[8] sample against a quiet local[2] best -> a 0.225 artifact on
     an engine whose clean pair measures >0.9.
   * pair order ALTERNATES so slow load drift within windows biases half
-    the pairs each way instead of all one way; the short (~30 s) 4N
-    build runs TWICE per window and the faster run is used (one-sided
-    scheduling-noise rejection — measured 29-42 s across a quiet hour
-    while the ~85 s N level held ±5%; both runs ship in the JSON);
+    the pairs each way instead of all one way; the short (~45 s) 4N
+    build runs THREE times per window and the fastest run is used
+    (one-sided burst/scheduling-noise rejection: round-5 measured
+    in-window 4N draw sets [95.9, 51.5] and [112.7, 43.7] s — the draw
+    count is fixed up front, all runs ship in the JSON). The N leg gets
+    ONE conservative retry when its build exceeds 1.25x the session's
+    best N build: a burst-dilated N leg spuriously INFLATES the ratio,
+    so replacing it with a faster in-window retry can only lower the
+    headline, never raise it;
   * each pair also records the host's own capability for its window: a
     single-thread canary (in-place numpy, min-of-3 — detects per-core
     dilation) and hw_parallel_scaling, the (thr_16proc/thr_4proc)/4
@@ -127,14 +132,19 @@ SCALING_4N = 4 * SCALING_N
 # fixed, outcome-independent schedule of ADJACENT same-window pairs;
 # order alternates so in-window load drift biases half the pairs each way
 N_PAIRS = int(os.environ.get("MEE_BENCH_PAIRS", "5"))
-# each pair runs the 4N level TWICE inside the window: the 4N build is
-# short (~30 s) and suffers one-sided scheduling-noise tails (measured
-# 29-42 s across a quiet hour while the ~85 s N level held +-5%), so the
-# faster in-window 4N run is the window's capability; both runs ship in
-# the JSON. Order alternates so drift biases half the pairs each way.
+# each pair runs the 4N level THREE times inside the window (round 5;
+# two in rounds 3-4): the 4N build is short (~45 s) and suffers
+# one-sided scheduling/burst tails — the round-5 validation run measured
+# in-window 4N draws of [95.9, 51.5] and [112.7, 43.7] (first draw hit a
+# burst, second clean), and a 40-minute afternoon produced t8 samples
+# spanning 43.7-112.7 s with FLAT 21-24 s warmups. The fastest in-window
+# run is the window's capability; min-of-3 samples that floor better
+# than min-of-2, the draw count is FIXED up front (never conditional on
+# the values seen), and every run ships in the JSON. Order alternates so
+# drift biases half the pairs each way.
 PAIR_PLAN = [
-    [SCALING_N, SCALING_4N, SCALING_4N] if i % 2 == 0
-    else [SCALING_4N, SCALING_4N, SCALING_N]
+    [SCALING_N, SCALING_4N, SCALING_4N, SCALING_4N] if i % 2 == 0
+    else [SCALING_4N, SCALING_4N, SCALING_4N, SCALING_N]
     for i in range(N_PAIRS)
 ]
 PARTITIONS = 4 * CPUS
@@ -645,9 +655,9 @@ def _wu_refs(pairs: list[dict]) -> dict[int, float]:
     best: dict[int, float] = {}
     for p in pairs:
         legs = list(p.get("runs_4n_all", []))
+        n_runs = p.get("runs_n_all") or []
         lo = p.get("runs", {}).get(str(SCALING_N))
-        if lo:
-            legs.append(lo)
+        legs += n_runs if n_runs else ([lo] if lo else [])
         for r in legs:
             if "warmup_sec" in r:
                 c = r["cores"]
@@ -682,9 +692,9 @@ def pair_capable(p: dict, wu_refs: dict[int, float], hw_gate: float) -> bool:
     if not p.get("spark_canary_ok"):
         return False
     legs = list(p.get("runs_4n_all", []))
+    n_runs = p.get("runs_n_all") or []
     lo = p.get("runs", {}).get(str(SCALING_N))
-    if lo:
-        legs.append(lo)
+    legs += n_runs if n_runs else ([lo] if lo else [])
     if len(legs) < 3:
         return False
     for r in legs:
@@ -748,7 +758,9 @@ def main() -> None:
     # short, ONLY at whole-pair boundaries, and every dropped pair is
     # logged and counted.
     bench_t0 = time.monotonic()
-    budget = float(os.environ.get("MEE_BENCH_BUDGET_SEC", "2700"))
+    # sized for 5 pairs of [N, 4Nx3] (~540 s each incl. the canary gate
+    # and end probes) so the full base plan fits without a cut
+    budget = float(os.environ.get("MEE_BENCH_BUDGET_SEC", "3000"))
     quiet_busy = float(os.environ.get("MEE_BENCH_QUIET_BUSY", "0.15"))
     quiet_wait = float(os.environ.get("MEE_BENCH_QUIET_WAIT", "240"))
     pairs: list[dict] = []
@@ -809,6 +821,7 @@ def main() -> None:
         print(f"[bench] pair {i + 1}/{len(plan)}: order {order} "
               f"(host busy {busy_now}, hw ceiling "
               f"{pair['hw_parallel_scaling']})", file=sys.stderr, flush=True)
+        pair["runs_n_all"] = []
         for cores in order:
             q = (not queried_once) and cores == SCALING_4N
             queried_once = queried_once or q
@@ -818,8 +831,32 @@ def main() -> None:
                 best4 = max(pair["runs_4n_all"], key=lambda r: r["docs_per_sec"])
                 pair["runs"][str(SCALING_4N)] = best4
             else:
+                pair["runs_n_all"].append(rec)
                 pair["runs"][str(cores)] = rec
             print(f"[bench]   local[{cores}] done: {rec}",
+                  file=sys.stderr, flush=True)
+        # N-leg contamination retry (round 5, CONSERVATIVE-ONLY): a
+        # burst-dilated N leg lowers thr_N and therefore spuriously
+        # INFLATES the pair ratio (the gated metric) — round-4 measured
+        # t2 legs at 200/182 s in windows whose clean t2 runs 152-163 s.
+        # When this pair's N build exceeds 1.25x the session's best N
+        # build, ONE retry runs inside the same window and the faster of
+        # the two becomes the pair's N level. Because a faster N can only
+        # LOWER the reported efficiency, this retry cannot bias the
+        # headline upward; both runs ship in runs_n_all.
+        n_all = [r for p0 in pairs for r in p0.get("runs_n_all", [])]
+        n_all += pair["runs_n_all"]
+        t2_best = min(r["build_sec"] for r in n_all)
+        lo_rec = pair["runs"][str(SCALING_N)]
+        if lo_rec["build_sec"] > 1.25 * t2_best:
+            print(f"[bench]   N leg {lo_rec['build_sec']}s > 1.25x session "
+                  f"best {t2_best}s — conservative retry",
+                  file=sys.stderr, flush=True)
+            retry = spawn_level(SCALING_N, corpus, False)
+            pair["runs_n_all"].append(retry)
+            if retry["build_sec"] < lo_rec["build_sec"]:
+                pair["runs"][str(SCALING_N)] = retry
+            print(f"[bench]   local[{SCALING_N}] retry: {retry}",
                   file=sys.stderr, flush=True)
         # re-measure the box's ceiling AFTER the pair: the start gate can't
         # see a burst that lands mid-pair (observed: a window gated at

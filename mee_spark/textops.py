@@ -54,10 +54,11 @@ def _hits(toks: Column, words: list[str]) -> Column:
     return F.size(F.filter(toks, lambda x: x.isin(*words))).cast("long")
 
 
-def quality_scores(docs: DataFrame) -> DataFrame:
-    """(doc_id, n_tokens, n_chars, stopword_ppm, alnum_ppm, quality_ppm)
-    — length/punctuation/stopword quality heuristics (training-data
-    filtering staple).
+def quality_scores(docs: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
+    """(doc_id, *keep, n_tokens, n_chars, stopword_ppm, alnum_ppm,
+    quality_ppm) — length/punctuation/stopword quality heuristics
+    (training-data filtering staple). ``keep`` passes grouping columns
+    (source, lang) through for rollups without a re-join.
 
     Ratios are parts-per-million computed with EXACT integer arithmetic
     (floor of bigint products): bit-identical across engines. Rounded
@@ -76,7 +77,7 @@ def quality_scores(docs: DataFrame) -> DataFrame:
     lencap_ppm = F.least(n_tokens, F.lit(100)) * 10_000
     quality_ppm = F.floor((lencap_ppm * 2 + stop_ppm + alnum_ppm) / 4).cast("long")
     return docs.select(
-        "doc_id", n_tokens.alias("n_tokens"), n_chars.alias("n_chars"),
+        "doc_id", *keep, n_tokens.alias("n_tokens"), n_chars.alias("n_chars"),
         stop_ppm.alias("stopword_ppm"), alnum_ppm.alias("alnum_ppm"),
         quality_ppm.alias("quality_ppm"),
     )
@@ -259,4 +260,48 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     norm = F.array_join(tokenize_col(F.col("text")), " ")
     return docs.select(
         "doc_id", F.md5(norm).alias("fp"), hash15(norm).alias("fp_hash")
+    )
+
+
+def source_stats(docs: DataFrame) -> DataFrame:
+    """(source, n_docs, n_langs, sum_tokens, sum_chars, sum_quality_ppm)
+    — per-source curation rollup: the domain-level filtering staple
+    (decide inclusion / sampling rate per origin before touching
+    individual docs). Quality columns ride through ``quality_scores``
+    with the grouping key kept in-plan, so the rollup is one projection
+    plus ONE shuffle keyed by source with map-side partial aggregation —
+    at 10^12 docs source cardinality is ~10^7 domains (uniform hash key)
+    and the combiners absorb any hot domain. Sums are exact integers:
+    bit-identical across engines, no float-mean round drift."""
+    q = quality_scores(docs, keep=("source", "lang"))
+    return q.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.sum("quality_ppm").cast("long").alias("sum_quality_ppm"),
+    )
+
+
+def token_quantiles(docs: DataFrame, by: str = "lang") -> DataFrame:
+    """(lang, n_docs, p25_tokens, p50_tokens, p75_tokens) — exact
+    linear-interpolated quantiles of per-doc token counts per group
+    (corpus length profiling: sequence-length budgeting, truncation-rate
+    estimates). Spark's ``percentile`` and DuckDB's ``quantile_cont``
+    implement the same type-7 interpolated quantile, so values are
+    comparable to 6 dp.
+
+    Scale note (deliberate): exact percentile buffers each group's
+    values on its reducer — correct for LOW-cardinality group keys
+    (languages: dozens). For high-cardinality keys swap in
+    ``approx_percentile`` (t-digest, mergeable partial agg) behind the
+    same column contract; the exact form is kept here because it is
+    oracle-checkable to equality."""
+    n_tokens = F.size(tokenize_col(F.col("text"))).cast("long")
+    base = docs.select(F.col(by), n_tokens.alias("n_tokens"))
+    return base.groupBy(by).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(F.expr("percentile(n_tokens, 0.25)"), 6).alias("p25_tokens"),
+        F.round(F.expr("percentile(n_tokens, 0.5)"), 6).alias("p50_tokens"),
+        F.round(F.expr("percentile(n_tokens, 0.75)"), 6).alias("p75_tokens"),
     )
