@@ -431,8 +431,9 @@ def run_spark_canary(corpus: str) -> None:
     """Subprocess entry: ONE fixed-size build in a fresh JVM at the 4N
     level — deliberately the exact shape of run_level's warmup (same
     corpus, same config, first build in the session), so the pre-existing
-    t8 warmup calibration data applies to it unchanged."""
-    tempfile.tempdir = f"{SHM}/work"
+    t8 warmup calibration data applies to it unchanged. Scratch tree is
+    per-process and removed before exit (see run_level)."""
+    tempfile.tempdir = f"{SHM}/work/can-{os.getpid()}"
     os.makedirs(tempfile.tempdir, exist_ok=True)
     from mee_spark.build import build_full_index
     from mee_spark.config import IndexConfig
@@ -446,6 +447,7 @@ def run_spark_canary(corpus: str) -> None:
                      tempfile.mkdtemp(), gen=1)
     print("CANARY " + json.dumps({"build_sec": round(time.monotonic() - t0, 2)}))
     spark.stop()
+    shutil.rmtree(tempfile.tempdir, ignore_errors=True)
 
 
 def spawn_spark_canary() -> float:
@@ -511,8 +513,15 @@ def spark_canary_gate(max_wait_sec: float) -> dict:
 def run_level(cores: int, corpus: str, n_docs: int, with_queries: bool) -> None:
     """Subprocess entry: warmup build + one timed build (+ query batch
     when requested — measured once, at a 4N-level run; the scaling gate
-    is BUILD throughput and extra batches only burn wall budget)."""
-    tempfile.tempdir = f"{SHM}/work"
+    is BUILD throughput and extra batches only burn wall budget).
+
+    The level's scratch tree is PER-PROCESS and removed before exit:
+    rounds 1-4 left every index/staging dir in tmpfs for the whole run,
+    and the accumulated /dev/shm pages meant each NEW leg started under
+    memory-reclaim pressure — the round-5 validation runs measured the
+    FIRST t8 draw of a pair systematically 20-130% slower than the best
+    in-window draw (98.3/98.9/95.9/112.7 s firsts vs 43-44 s cleans)."""
+    tempfile.tempdir = f"{SHM}/work/lvl-{os.getpid()}"
     os.makedirs(tempfile.tempdir, exist_ok=True)
     from mee_spark.build import build_full_index
     from mee_spark.config import IndexConfig
@@ -559,6 +568,7 @@ def run_level(cores: int, corpus: str, n_docs: int, with_queries: bool) -> None:
                 "sec_per_query": round(query_sec / 100, 4), "topk_rows": n_res}
     print("LEVEL " + json.dumps(rec))
     spark.stop()
+    shutil.rmtree(tempfile.tempdir, ignore_errors=True)
 
 
 def spawn_level(cores: int, corpus: str, with_queries: bool) -> dict:
@@ -679,12 +689,16 @@ def pair_capable(p: dict, wu_refs: dict[int, float], hw_gate: float) -> bool:
       (a) numpy process-scaling ceiling >= gate at BOTH ends;
       (b) the pair's Spark canary gate passed at start (the only probe
           that sees the round-4 dilation mode);
-      (c) warmup data PRESENT for every leg (round-4 advice: a missing
+      (c) warmup data PRESENT at both levels (round-4 advice: a missing
           column must mean not-capable, never vacuously capable);
-      (d) every leg's warmup within CANARY_RATIO of its level's reference
-          (absolute-anchored, so a fully-dilated session cannot
-          self-normalize) — three Spark-shaped samples spread across the
-          window, catching dilation that lands mid-pair."""
+      (d) each LEVEL's best in-window warmup within CANARY_RATIO of its
+          absolute-anchored reference. Best-of, not all-of: probes get
+          the same one-sided noise rejection as the measured legs
+          themselves — the round-5 validation run showed a single 20 s
+          probe catching a scheduling spike (24.45 s vs 19.95 s sibling
+          draws) and disqualifying the pair whose measurement was the
+          session's cleanest, while a window whose EVERY probe is slow
+          really is dilated (round-4 mode: 35.8-46.9 s across all legs)."""
     if p.get("hw_parallel_scaling", 0) < hw_gate:
         return False
     if p.get("hw_parallel_scaling_end", 0) < hw_gate:
@@ -697,12 +711,16 @@ def pair_capable(p: dict, wu_refs: dict[int, float], hw_gate: float) -> bool:
     legs += n_runs if n_runs else ([lo] if lo else [])
     if len(legs) < 3:
         return False
+    by_level: dict[int, list[float]] = {}
     for r in legs:
-        wu = r.get("warmup_sec")
-        ref = wu_refs.get(r.get("cores"))
-        if wu is None or ref is None or ref == float("inf"):
-            return False
-        if wu > CANARY_RATIO * ref:
+        if r.get("warmup_sec") is not None and r.get("cores") is not None:
+            by_level.setdefault(r["cores"], []).append(r["warmup_sec"])
+    for level in (SCALING_N, SCALING_4N):
+        wus = by_level.get(level)
+        ref = wu_refs.get(level)
+        if not wus or ref is None or ref == float("inf"):
+            return False  # no warmup evidence at this level -> not capable
+        if min(wus) > CANARY_RATIO * ref:
             return False
     return True
 
@@ -798,6 +816,13 @@ def main() -> None:
                   f"avg pair {avg_pair:.0f}s, elapsed {elapsed:.0f}s)",
                   file=sys.stderr, flush=True)
             break
+        # sweep stray level scratch before the pair (belt-and-braces with
+        # each child's own cleanup): tmpfs pages left by a crashed child
+        # or by Spark's local dir would put every later leg under
+        # memory-reclaim pressure; no child is alive at this point
+        shutil.rmtree(f"{SHM}/work", ignore_errors=True)
+        shutil.rmtree(f"{SHM}/sparktmp", ignore_errors=True)
+        os.makedirs(f"{SHM}/work", exist_ok=True)
         # gate the PAIR start on busy-share AND the box's parallel-capacity
         # ceiling; never wait between the levels of a pair. The gate's own
         # hw measurement is the pair's recorded ceiling (no double cost).

@@ -125,10 +125,15 @@ def test_pair_capable_requires_canary_ok():
 
 def test_pair_capable_missing_warmup_is_not_capable():
     # round-4 advice: absent warmup data must mean NOT capable, never
-    # vacuously capable
-    p = _pair(wu_4n=(None, 21.0))
+    # vacuously capable — here the 4N level has NO warmup samples at all
+    p = _pair(wu_4n=(None, None))
     refs = bench._wu_refs([p])
     assert not bench.pair_capable(p, refs, 0.92)
+    # N-level data missing entirely -> not capable either
+    p2 = _pair()
+    del p2["runs"][str(bench.SCALING_N)]["warmup_sec"]
+    refs2 = bench._wu_refs([p2])
+    assert not bench.pair_capable(p2, refs2, 0.92)
 
 
 def test_pair_capable_hw_end_gate():
@@ -137,11 +142,17 @@ def test_pair_capable_hw_end_gate():
     assert not bench.pair_capable(p, refs, 0.92)
 
 
-def test_pair_capable_dilated_leg_warmup_fails():
-    # one 4N leg's warmup at 2x the quiet reference -> mid-pair dilation
-    p = _pair(wu_4n=(20.5, 41.0))
+def test_pair_capable_dilated_level_fails_but_single_spike_passes():
+    # EVERY 4N warmup dilated (round-4 mode) -> not capable
+    p = _pair(wu_4n=(41.0, 39.5))
     refs = bench._wu_refs([p])
     assert not bench.pair_capable(p, refs, 0.92)
+    # a single slow probe next to clean sibling draws is scheduling
+    # noise, not window dilation: min-of-probes keeps the pair capable
+    # (round-5: a 24.45s spike disqualified the session's cleanest pair)
+    p2 = _pair(wu_4n=(20.5, 41.0))
+    refs2 = bench._wu_refs([p2])
+    assert bench.pair_capable(p2, refs2, 0.92)
 
 
 def test_pair_capable_n_leg_warmup_fails():
