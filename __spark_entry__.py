@@ -376,6 +376,42 @@ def q_text_token_quantiles(spark, sf_dir):
     return token_quantiles(_read(spark, sf_dir, "documents"))
 
 
+def q_text_sample_stratified(spark, sf_dir):
+    """Deterministic per-language sampling (training-mix rates): pure
+    integer Knuth-hash filter, no shuffle, no RNG state — identical
+    keep-set in any engine."""
+    from mee_spark.textops import sample_hash_stratified
+
+    return sample_hash_stratified(
+        _read(spark, sf_dir, "documents"),
+        rates={"en": 0.9, "de": 0.5, "zh": 0.25}, default_rate=0.1)
+
+
+def q_text_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk sequence packing (budget 256 tokens, 8 shards):
+    one bucket-keyed shuffle + in-partition window cumsum."""
+    from mee_spark.textops import pack_sequences
+
+    return pack_sequences(_read(spark, sf_dir, "documents"),
+                          budget=256, n_buckets=8)
+
+
+def q_text_vocab_topk(spark, sf_dir):
+    """Top-20 tokens per language (vocab/stopword building): explode ->
+    map-side-combined count -> window top-k over the counts table."""
+    from mee_spark.textops import vocab_topk
+
+    return vocab_topk(_read(spark, sf_dir, "documents"), k=20)
+
+
+def q_dedup_coverage(spark, sf_dir):
+    """Per-doc duplicated-shingle coverage (excess-duplication signal):
+    linear df-join-back, no pair enumeration."""
+    from mee_spark.dedup import dup_shingle_coverage
+
+    return dup_shingle_coverage(_read(spark, sf_dir, "documents"), n=3)
+
+
 def q_dedup_winnow(spark, sf_dir):
     from mee_spark.textops import winnow_dup_pairs
 
@@ -1085,6 +1121,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_winnow": q_text_winnow,
         "text_source_stats": q_text_source_stats,
         "text_token_quantiles": q_text_token_quantiles,
+        "text_sample_stratified": q_text_sample_stratified,
+        "text_pack_sequences": q_text_pack_sequences,
+        "text_vocab_topk": q_text_vocab_topk,
+        "dedup_coverage": q_dedup_coverage,
         "dedup_winnow": q_dedup_winnow,
         "dedup_clusters": q_dedup_clusters,
         "pipeline_curate": q_pipeline_curate,
@@ -1181,6 +1221,52 @@ FROM t LEFT JOIN agg a USING (doc_id)
         "text_winnow": _WINNOW_SQL,
         "text_source_stats": _source_stats_sql(),
         "text_token_quantiles": _TOKEN_QUANTILES_SQL,
+        # thresholds are int(rate * 2^32) — the same truncation the Spark
+        # operator applies, so keep-sets are bit-identical
+        "text_sample_stratified": f"""
+WITH d AS (SELECT doc_id::BIGINT AS doc_id, lang, source,
+                  n_chars::BIGINT AS n_chars,
+                  (doc_id::BIGINT * 2654435761) % 4294967296 AS u
+           FROM documents)
+SELECT doc_id, lang, source, n_chars FROM d
+WHERE u < CASE lang WHEN 'en' THEN {int(0.9 * (1 << 32))}
+                    WHEN 'de' THEN {int(0.5 * (1 << 32))}
+                    WHEN 'zh' THEN {int(0.25 * (1 << 32))}
+                    ELSE {int(0.1 * (1 << 32))} END
+""",
+        "text_pack_sequences": f"""
+WITH d AS (SELECT doc_id::BIGINT AS doc_id,
+                  len({_toks('text')})::BIGINT AS n_tokens,
+                  floor(((doc_id::BIGINT * 2654435761) % 4294967296) * 8
+                        / 4294967296)::BIGINT AS bucket
+           FROM documents),
+c AS (SELECT doc_id, bucket, n_tokens,
+             coalesce(sum(n_tokens) OVER (
+               PARTITION BY bucket ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      FROM d)
+SELECT doc_id, bucket, floor(cb / 256)::BIGINT AS seq, n_tokens,
+       (cb - floor(cb / 256)::BIGINT * 256)::BIGINT AS seq_offset
+FROM c
+""",
+        "text_vocab_topk": f"""
+WITH t AS (SELECT lang, unnest({_toks('text')}) AS token FROM documents),
+c AS (SELECT lang, token, count(*)::BIGINT AS cnt FROM t GROUP BY 1, 2)
+SELECT lang, token, cnt,
+       row_number() OVER (PARTITION BY lang
+                          ORDER BY cnt DESC, token)::BIGINT AS rank
+FROM c QUALIFY rank <= 20
+""",
+        "dedup_coverage": f"""
+WITH {_SHINGLE_CTE},
+dfreq AS (SELECT shingle, count(*)::BIGINT AS df FROM sh GROUP BY 1)
+SELECT doc_id, count(*)::BIGINT AS n_shingles,
+       sum(CASE WHEN df > 1 THEN 1 ELSE 0 END)::BIGINT AS dup_shingles,
+       floor(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) * 1000000
+             / count(*))::BIGINT AS dup_ppm
+FROM sh JOIN dfreq USING (shingle)
+GROUP BY doc_id
+""",
         "dedup_winnow": _WINNOW_PAIRS_SQL,
         # transitive closure of the symmetric pair graph; cluster_id =
         # least reachable doc_id (matches min-label propagation exactly)

@@ -366,3 +366,33 @@ def dup_connected_components(pairs: DataFrame, a_col: str = "doc_id_a",
             break
     return labels.select(F.col("node").alias("doc_id"),
                          F.col("label").alias("cluster_id"))
+
+
+def dup_shingle_coverage(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, n_shingles, dup_shingles, dup_ppm) — duplicate-text
+    coverage: for each doc, the count and ppm share of its distinct
+    token n-grams that also occur in at least one OTHER document. The
+    excess-duplication retention signal (drop or down-sample docs whose
+    text is mostly duplicated elsewhere) that complements the pairwise
+    dedup family: it needs no pair enumeration at all, so it stays
+    linear where even banded pair-joins grow with dup density.
+
+    Scale shape: explode -> one uniform-hash groupBy for per-shingle
+    doc frequency -> equi-join back on the same 60-bit key -> per-doc
+    agg. A boilerplate shingle shared by M docs contributes M join rows
+    (not M^2 pairs), so hot shingles cost linear fan-out only; both
+    shuffles key on uniform hashes. Docs whose tokenized text is empty
+    produce no shingles and drop out (mirrored by the oracle)."""
+    sh = shingles(spread(docs), n)
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        sh.join(dfreq, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shingles"),
+             F.sum(F.when(F.col("df") > 1, 1).otherwise(0)).cast("long")
+             .alias("dup_shingles"))
+        .withColumn("dup_ppm",
+                    F.floor(F.col("dup_shingles") * 1000000
+                            / F.col("n_shingles")).cast("long"))
+        .select("doc_id", "n_shingles", "dup_shingles", "dup_ppm")
+    )

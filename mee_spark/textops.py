@@ -305,3 +305,102 @@ def token_quantiles(docs: DataFrame, by: str = "lang") -> DataFrame:
         F.round(F.expr("percentile(n_tokens, 0.5)"), 6).alias("p50_tokens"),
         F.round(F.expr("percentile(n_tokens, 0.75)"), 6).alias("p75_tokens"),
     )
+
+
+# Knuth multiplicative-hash constant (2^32 / golden ratio, public
+# domain). Chosen over xxhash/md5 for the SAMPLING and PACKING bucket
+# hashes below because it is pure integer arithmetic — expressible
+# identically in Spark SQL and ANSI SQL (DuckDB oracle), so the
+# pseudo-random keep/bucket decisions are engine-independent and
+# value-checkable, unlike engine-native hash() functions.
+KNUTH_HASH = 2654435761
+_U32 = 1 << 32
+
+
+def _knuth_u32(col: Column) -> Column:
+    """((id * 2654435761) mod 2^32) — a uniform deterministic u32 draw
+    per id, identical in any engine with 64-bit integer arithmetic."""
+    return F.pmod(col.cast("long") * F.lit(KNUTH_HASH), F.lit(_U32))
+
+
+def sample_hash_stratified(docs: DataFrame, rates: dict[str, float],
+                           by: str = "lang",
+                           default_rate: float = 0.0) -> DataFrame:
+    """(doc_id, <by>, source, n_chars) — deterministic stratified
+    sampling: keep a doc iff its Knuth-hash u32 draw falls below
+    rate[group] * 2^32. The training-data mixing staple (per-language /
+    per-domain sampling rates to hit a target corpus mixture) without
+    RNG state: re-running on the same corpus reproduces the exact same
+    sample, and adding docs never flips the keep decision of an
+    existing doc (hash depends only on doc_id).
+
+    Scale shape: a single narrow filter over the scan — no shuffle, no
+    RNG seeds to coordinate across 1000 executors, trivially
+    partition-parallel. Rate thresholds fold to integer literals in the
+    plan (no per-row float math)."""
+    u = _knuth_u32(F.col("doc_id"))
+    thr = F.lit(int(default_rate * _U32))
+    for key in sorted(rates):  # deterministic plan regardless of dict order
+        thr = F.when(F.col(by) == key, F.lit(int(rates[key] * _U32))).otherwise(thr)
+    return (docs.filter(u < thr)
+            .select(F.col("doc_id").cast("long").alias("doc_id"), by,
+                    "source", F.col("n_chars").cast("long").alias("n_chars")))
+
+
+def pack_sequences(docs: DataFrame, budget: int = 256,
+                   n_buckets: int = 8) -> DataFrame:
+    """(doc_id, bucket, seq, n_tokens, seq_offset) — concat-and-chunk
+    sequence packing: docs are sharded into ``n_buckets`` by the Knuth
+    hash of doc_id, concatenated in doc_id order within each shard, and
+    the resulting token stream is chunked every ``budget`` tokens; each
+    doc is assigned to the chunk where its first token lands
+    (``seq``), with ``seq_offset`` its token position inside that
+    chunk. This is the standard LLM pretraining packing layout (fixed-
+    length sequences, minimal padding) in its deterministic
+    stream-chunking form — no greedy bin state, so it is a pure window
+    aggregate.
+
+    Scale shape: one shuffle on the bucket key + an in-partition sort
+    by doc_id (the window never crosses buckets). ``n_buckets`` is the
+    parallelism knob — at 100 TB set it to a few × total cores so each
+    shard's sort fits an executor; the chunk ids only need to be unique
+    within (bucket, seq), which they are by construction."""
+    n_tokens = F.size(tokenize_col(F.col("text"))).cast("long")
+    # multiplicative hashing buckets by the HIGH bits (floor(u*m / 2^32)):
+    # u mod 2^k would keep only doc_id's low bits (K is odd), degenerating
+    # to round-robin — balanced but correlated with id layout
+    bucket = F.floor(_knuth_u32(F.col("doc_id")) * F.lit(n_buckets)
+                     / F.lit(_U32)).cast("long")
+    base = docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                       bucket.alias("bucket"), n_tokens.alias("n_tokens"))
+    from pyspark.sql import Window
+    w = (Window.partitionBy("bucket").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (base
+            .withColumn("seq", F.floor(cum_before / F.lit(budget)).cast("long"))
+            .withColumn("seq_offset",
+                        (cum_before - F.col("seq") * F.lit(budget)).cast("long"))
+            .select("doc_id", "bucket", "seq", "n_tokens", "seq_offset"))
+
+
+def vocab_topk(docs: DataFrame, k: int = 20, by: str = "lang") -> DataFrame:
+    """(<by>, token, cnt, rank) — the k most frequent tokens per group,
+    rank 1-based, ties broken by token text (deterministic). The
+    vocabulary-building / stopword-list step of a tokenizer pipeline.
+
+    Scale shape: explode -> ONE shuffle keyed by (group, token) with
+    map-side partial aggregation (the combiners absorb hot tokens:
+    every mapper emits at most one row per distinct (group, token));
+    the window top-k then runs over the counts table — |vocab| x
+    |groups| rows, corpus-size-independent — so the per-group sort is
+    never the bottleneck."""
+    from pyspark.sql import Window
+    toks = docs.select(F.col(by),
+                       F.explode(tokenize_col(F.col("text"))).alias("token"))
+    counts = toks.groupBy(by, "token").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"))
+    w = Window.partitionBy(by).orderBy(F.col("cnt").desc(), F.col("token"))
+    return (counts.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select(by, "token", "cnt", "rank"))
