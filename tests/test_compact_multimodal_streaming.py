@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
 import pytest
 
 from mee_spark import manifest as mf
@@ -470,3 +471,94 @@ def test_jpeg_honest_failures_and_dispatch():
     img = decode_image(p)
     assert img.shape == (16, 24, 3) and img.dtype == np.uint8
     assert img.std() > 10  # real content, not a flat fake
+
+
+# ------------------------------------------------------------- video (Y4M)
+
+def test_y4m_roundtrip_gray_exact():
+    """Gray frames (chroma pinned to 128) make YUV->RGB the identity on
+    luma: decoded pixels must equal the encoded Y planes exactly."""
+    from mee_spark.multimodal import decode_y4m, make_y4m_payload
+
+    payload = make_y4m_payload(7, 16, 8, n_frames=5, fps=10, gray=True)
+    frames, fps = decode_y4m(payload)
+    assert frames.shape == (5, 8, 16, 3) and fps == 10.0
+    rng = np.random.default_rng(7 * 104729 + 3)
+    for i in range(5):
+        y = rng.integers(0, 256, (8, 16), dtype=np.uint8)
+        assert np.array_equal(frames[i, :, :, 0], y)  # R == Y when Cb=Cr=0
+        assert np.array_equal(frames[i, :, :, 1], y)
+        assert np.array_equal(frames[i, :, :, 2], y)
+
+
+def test_y4m_handbuilt_spec_vector():
+    """Hand-assembled Y4M bytes (spec layout, not our encoder) decode to
+    the expected pixels — guards against a shared encoder/decoder bug."""
+    from mee_spark.multimodal import decode_y4m
+
+    y = bytes(range(8))                   # 4x2 luma ramp 0..7
+    u = bytes([128, 128])                 # 2x1 chroma planes (C420)
+    v = bytes([128, 128])
+    payload = (b"YUV4MPEG2 W4 H2 F25:1 Ip A1:1 C420jpeg\n"
+               + b"FRAME\n" + y + u + v)
+    frames, fps = decode_y4m(payload)
+    assert fps == 25.0 and frames.shape == (1, 2, 4, 3)
+    assert np.array_equal(frames[0, :, :, 0],
+                          np.arange(8, dtype=np.uint8).reshape(2, 4))
+    # C444 variant: full-resolution chroma, still neutral
+    payload444 = (b"YUV4MPEG2 W4 H2 F30:1 C444\n"
+                  + b"FRAME\n" + y + bytes([128] * 8) + bytes([128] * 8))
+    frames444, fps444 = decode_y4m(payload444)
+    assert fps444 == 30.0
+    assert np.array_equal(frames444[0, :, :, 1],
+                          np.arange(8, dtype=np.uint8).reshape(2, 4))
+
+
+def test_y4m_honest_failures():
+    from mee_spark.multimodal import decode_y4m, make_y4m_payload
+
+    with pytest.raises(ValueError):
+        decode_y4m(b"not a y4m stream")
+    with pytest.raises(NotImplementedError):  # 4:2:2 unsupported
+        decode_y4m(b"YUV4MPEG2 W4 H2 F25:1 C422\nFRAME\n" + bytes(12))
+    ok = make_y4m_payload(3, 8, 8, n_frames=2)
+    with pytest.raises(ValueError):  # truncated frame payload
+        decode_y4m(ok[:-10])
+    with pytest.raises(ValueError):  # odd dims can't carry C420
+        make_y4m_payload(3, 7, 8)
+
+
+def test_video_frame_sample_real_y4m(spark):
+    """Distributed frame sampling over REAL Y4M payloads: stride, frame
+    timing from the container fps, and mean_luma traced to the actual
+    Y planes."""
+    from mee_spark.multimodal import (decode_y4m, make_y4m_payload,
+                                      video_frame_sample)
+
+    rows = [(i, "video", "video/x-y4m",
+             make_y4m_payload(i, 16, 8, n_frames=6, fps=20), 16, 8, 300)
+            for i in range(4)]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = video_frame_sample(media, stride=2, fake=False).collect()
+    assert len(got) == 4 * 3  # frames 0, 2, 4 of 6
+    by_key = {(r["media_id"], r["frame_idx"]): r for r in got}
+    for mid in range(4):
+        frames, fps = decode_y4m(make_y4m_payload(mid, 16, 8, n_frames=6,
+                                                  fps=20))
+        for idx in (0, 2, 4):
+            r = by_key[(mid, idx)]
+            assert r["t_ms"] == round(idx * 1000 / 20)
+            assert (r["width"], r["height"]) == (16, 8)
+            fr = frames[idx].astype(np.float64)
+            luma = 0.299 * fr[..., 0] + 0.587 * fr[..., 1] + 0.114 * fr[..., 2]
+            assert r["mean_luma"] == pytest.approx(luma.mean(), abs=1e-4)
+
+
+def test_video_frame_sample_fake_and_honest_failure(spark, media):
+    from mee_spark.multimodal import video_frame_sample
+
+    got = video_frame_sample(media, stride=3, fake=True).collect()
+    assert got and all(r["frame_idx"] % 3 == 0 for r in got)
+    # same media without fake mode: MEEFAKE is a codec stand-in -> raise
+    with pytest.raises(Exception, match="codec video"):
+        video_frame_sample(media, stride=3, fake=False).collect()
