@@ -20,11 +20,11 @@ import bench
 def _representative_headline() -> dict:
     # worst-ish case values: every query present with 3-decimal timings,
     # all optional fields populated, 5 pair efficiencies
-    queries = {name: 123.456 for name in bench.TIMED_QUERIES}
+    queries = {name: 123.46 for name in bench.TIMED_QUERIES}
     # worst case: the full 8-pair plan (5 base + 3 host-conditioned
     # extensions) so every per-pair evidence list carries 8 entries
     return {
-        "metric": "index-build docs/s + query latency + scaling eff",
+        "metric": "build+query+scaling",
         "value": 12345.67,
         "unit": "sec",
         "sf": "/root/testdata/sf0.1",
@@ -32,8 +32,8 @@ def _representative_headline() -> dict:
         "bench_docs": 600000,
         "index_build_docs_per_sec": 14714.6,
         "sec_per_query": 0.1234,
+        "sec_per_query_all": [0.1234, 0.2345, 0.1456],
         "scaling_efficiency": 0.875,
-        "scaling_efficiency_best_pair": 0.918,
         "scaling_efficiency_symmetric": 0.851,
         "scaling_efficiency_capable_windows": 0.944,
         "n_capable_pairs": 3,
@@ -46,7 +46,6 @@ def _representative_headline() -> dict:
                                       22.1, 20.9, 23.8],
         "query_warmup_pass_sec": 123.45,
         "spark_canary_query_phase_sec": 21.84,
-        "host_busy_query_phase": 0.123,
         "detail": "BENCH/last_run_full.json",
     }
 
