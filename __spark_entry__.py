@@ -253,6 +253,65 @@ def q_fulltext_bm25_conjunctive(spark, sf_dir):
     )
 
 
+# phrase / prefix query sets (fixed, tiny) — cover a duplicate-term
+# phrase ("batch batch batch": each occurrence must vote for every
+# index it could fill), a stop-word-leading phrase, and zero-hit cases
+PHRASE_QUERIES = [
+    (0, "order fast"), (1, "window join"), (2, "batch batch batch"),
+    (3, "the fast key"), (4, "merge nosuchterm"),
+]
+PREFIX_QUERIES = [(0, "win"), (1, "mer"), (2, "zzqx")]
+
+
+def _phrases_df(spark):
+    from mee_spark.textprep import py_tokenize
+
+    return spark.createDataFrame(
+        [(pid, py_tokenize(p)) for pid, p in PHRASE_QUERIES],
+        "phrase_id int, terms array<string>")
+
+
+def q_fulltext_phrase_match(spark, sf_dir):
+    """ES match_phrase semantics via the anchor join (mee_spark.phrase):
+    exact consecutive-token occurrence counts per (phrase, doc)."""
+    from mee_spark.phrase import phrase_match
+
+    return phrase_match(_docs(spark, sf_dir), _phrases_df(spark))
+
+
+def q_fulltext_phrase_topk(spark, sf_dir):
+    from mee_spark.phrase import phrase_topk
+
+    return phrase_topk(_docs(spark, sf_dir), _phrases_df(spark), k=10)
+
+
+MLT_SEEDS = [(0, 1), (1, 42), (2, 7)]
+
+
+def q_fulltext_more_like_this(spark, sf_dir):
+    """ES more-like-this: per seed doc, top-5 tf-idf terms → BM25 top-10
+    over the corpus, seed excluded."""
+    from mee_spark.postings import build_postings
+    from mee_spark.query import more_like_this
+
+    docs = _docs(spark, sf_dir)
+    stats = docs.agg(F.count("*").alias("n"), F.avg("dl").alias("a")).collect()[0]
+    seeds = spark.createDataFrame(MLT_SEEDS, "seed_id int, doc_id long")
+    return more_like_this(build_postings(docs), seeds,
+                          int(stats["n"]), float(stats["a"]), m=5, k=10)
+
+
+def q_fulltext_prefix_match(spark, sf_dir):
+    """ES prefix-query expansion: per-doc stats over index terms that
+    start with each prefix."""
+    from mee_spark.phrase import prefix_match
+    from mee_spark.postings import build_postings
+
+    prefixes = spark.createDataFrame(
+        PREFIX_QUERIES, "prefix_id int, prefix string")
+    return prefix_match(build_postings(_docs(spark, sf_dir)), prefixes)
+
+
 _FULLTEXT_CTE = f"""
 docs AS (SELECT doc_id, {_toks('text')} AS toks FROM documents),
 tok AS (SELECT doc_id, unnest(toks) AS term FROM docs),
@@ -260,6 +319,36 @@ doclen AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM docs),
 postings AS (
   SELECT t.term, t.doc_id, count(*)::BIGINT AS tf, any_value(l.dl) AS dl
   FROM tok t JOIN doclen l USING (doc_id) GROUP BY 1, 2)
+"""
+
+
+def _phrase_cte() -> str:
+    """Anchor-join phrase matching in DuckDB form — same diagonal
+    construction as ``mee_spark.phrase.phrase_match``."""
+    from mee_spark.textprep import py_tokenize
+
+    vals = ", ".join(
+        f"({pid}, {i}, '{t}')"
+        for pid, p in PHRASE_QUERIES
+        for i, t in enumerate(py_tokenize(p)))
+    return f"""
+docs AS (SELECT doc_id, {_toks('text')} AS toks FROM documents),
+pos AS (SELECT doc_id, unnest(toks) AS term,
+               generate_subscripts(toks, 1) - 1 AS p FROM docs),
+pt(phrase_id, idx, term) AS (VALUES {vals}),
+plen AS (SELECT phrase_id, count(*) AS n_terms FROM pt GROUP BY 1),
+anchors AS (
+  SELECT pt.phrase_id, pos.doc_id, pos.p - pt.idx AS anchor,
+         count(DISTINCT pt.idx) AS hits
+  FROM pos JOIN pt ON pos.term = pt.term
+  WHERE pos.p >= pt.idx
+  GROUP BY 1, 2, 3),
+pmatch AS (
+  SELECT a.phrase_id::INT AS phrase_id, a.doc_id,
+         count(*)::BIGINT AS phrase_tf
+  FROM anchors a JOIN plen USING (phrase_id)
+  WHERE a.hits = plen.n_terms
+  GROUP BY 1, 2)
 """
 
 
@@ -1110,6 +1199,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fulltext_bm25_conjunctive": q_fulltext_bm25_conjunctive,
         "fulltext_bm25_wand": q_fulltext_bm25_wand,
         "fulltext_wand_conjunctive": q_fulltext_wand_conjunctive,
+        "fulltext_phrase_match": q_fulltext_phrase_match,
+        "fulltext_more_like_this": q_fulltext_more_like_this,
+        "fulltext_phrase_topk": q_fulltext_phrase_topk,
+        "fulltext_prefix_match": q_fulltext_prefix_match,
         "fulltext_lifecycle": q_fulltext_lifecycle,
         "fulltext_compacted": q_fulltext_compacted,
         "text_token_stats": q_text_token_stats,
@@ -1182,6 +1275,58 @@ SELECT doc_id, dl FROM doclen
         "fulltext_bm25_wand": _BM25_SQL,
         "fulltext_wand_conjunctive": _bm25_sql_over(
             "SELECT doc_id, text FROM documents", BM25_QUERIES, conjunctive=True),
+        "fulltext_more_like_this": f"""
+WITH {_FULLTEXT_CTE},
+seeds(seed_id, sdoc) AS (VALUES {", ".join(f"({s}, {d})" for s, d in MLT_SEEDS)}),
+stats AS (SELECT count(*)::BIGINT AS n, avg(dl) AS avgdl FROM doclen),
+sterm AS (SELECT s.seed_id, p.term, p.tf
+          FROM postings p JOIN seeds s ON p.doc_id = s.sdoc),
+dfq AS (SELECT term, count(*)::BIGINT AS df FROM postings
+        WHERE term IN (SELECT term FROM sterm) GROUP BY 1),
+tsel AS (
+  SELECT st.seed_id, st.term,
+         round(st.tf::DOUBLE * ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)), 6) AS tfidf
+  FROM sterm st JOIN dfq d USING (term) CROSS JOIN stats s),
+qt AS (SELECT seed_id, term FROM (
+  SELECT seed_id, term,
+         row_number() OVER (PARTITION BY seed_id ORDER BY tfidf DESC, term) AS r
+  FROM tsel) WHERE r <= 5),
+contrib AS (
+  SELECT q.seed_id, p.doc_id,
+         ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+         * (p.tf * (1.2 + 1.0)) / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * p.dl / s.avgdl)) AS c
+  FROM postings p JOIN qt q USING (term) JOIN dfq d USING (term) CROSS JOIN stats s),
+mscored AS (SELECT seed_id, doc_id, sum(c) AS score FROM contrib GROUP BY 1, 2),
+mranked AS (
+  SELECT c.seed_id::INT AS seed_id, c.doc_id, round(c.score, 6) AS score,
+         row_number() OVER (PARTITION BY c.seed_id
+                            ORDER BY round(c.score, 6) DESC, c.doc_id) AS rank
+  FROM mscored c JOIN seeds s ON c.seed_id = s.seed_id
+  WHERE c.doc_id <> s.sdoc)
+SELECT seed_id, rank, doc_id, score FROM mranked WHERE rank <= 10
+""",
+        "fulltext_phrase_match": f"""
+WITH {_phrase_cte()}
+SELECT phrase_id, doc_id, phrase_tf FROM pmatch
+""",
+        "fulltext_phrase_topk": f"""
+WITH {_phrase_cte()},
+ranked AS (
+  SELECT phrase_id, doc_id, phrase_tf,
+         row_number() OVER (PARTITION BY phrase_id
+                            ORDER BY phrase_tf DESC, doc_id) AS rank
+  FROM pmatch)
+SELECT phrase_id, doc_id, phrase_tf, rank FROM ranked WHERE rank <= 10
+""",
+        "fulltext_prefix_match": f"""
+WITH {_FULLTEXT_CTE},
+pre(prefix_id, prefix) AS (VALUES {", ".join(f"({i}, '{p}')" for i, p in PREFIX_QUERIES)})
+SELECT pre.prefix_id::INT AS prefix_id, p.doc_id,
+       count(DISTINCT p.term)::BIGINT AS n_terms,
+       sum(p.tf)::BIGINT AS total_tf
+FROM postings p JOIN pre ON p.term LIKE pre.prefix || '%'
+GROUP BY 1, 2
+""",
         "fulltext_lifecycle": _bm25_sql_over(_LC_CORPUS_SQL, LIFECYCLE_QUERIES),
         "fulltext_compacted": _bm25_sql_over(_LC_CORPUS_SQL, LIFECYCLE_QUERIES),
         "text_token_stats": f"""

@@ -150,3 +150,68 @@ def bm25_topk_exhaustive(
             out_score,
         )
     )
+
+
+def more_like_this(
+    postings: DataFrame,
+    seeds: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    m: int = 5,
+    k: int = 10,
+    k1: float = K1,
+    b: float = B,
+    round_digits: int = 6,
+) -> DataFrame:
+    """ES more-like-this: seed docs → representative terms → BM25 rank.
+
+    ``seeds`` is (seed_id, doc_id). For each seed the top-``m`` terms by
+    tf·idf (rounded key, term-asc tie-break — deterministic across
+    engines) become the query, scored with the same exhaustive BM25 plan
+    as ``bm25_topk_exhaustive``; the seed doc itself is excluded from
+    its own result. Returns (seed_id, rank, doc_id, score), rank ≤ k.
+
+    Scale shape: the seed join, the selected-term set, and the df
+    aggregate over seed terms are all broadcast-sized (≤ seeds × dl
+    terms); the postings relation is only ever filtered by broadcast
+    joins, so the corpus never shuffles — the one shuffle is the scoring
+    groupBy over matched postings, identical to the main BM25 path.
+    The reference has no MLT of its own — it delegates to ES/Lucene
+    (`modules/handlers/v1/commonhandler.py:68-83` ships the docs); this
+    is the Spark-native equivalent of the Lucene query it would run.
+    """
+    sd = F.broadcast(seeds.select("seed_id", F.col("doc_id").alias("_seed_doc")))
+    # all terms of the seed docs, with their in-seed tf
+    sterm = (postings.join(sd, postings["doc_id"] == sd["_seed_doc"])
+             .select("seed_id", "term", "tf"))
+    # df over the full corpus for candidate terms only (broadcast filter)
+    dfreq = (postings
+             .join(F.broadcast(sterm.select("term").distinct()), "term")
+             .groupBy("term").agg(F.count("*").alias("df")))
+    tfidf = (sterm.join(F.broadcast(dfreq), "term")
+             .withColumn("_tfidf", F.round(
+                 F.col("tf").cast("double")
+                 * idf_col(F.col("df").cast("double"), n_docs), round_digits)))
+    wsel = Window.partitionBy("seed_id").orderBy(
+        F.desc("_tfidf"), F.asc("term"))
+    qterms = (tfidf.withColumn("_r", F.row_number().over(wsel))
+              .where(F.col("_r") <= m).select("seed_id", "term"))
+    matched = postings.join(F.broadcast(qterms), "term")
+    contrib = matched.join(F.broadcast(dfreq), "term").withColumn(
+        "_c",
+        idf_col(F.col("df").cast("double"), n_docs)
+        * tnorm_col(F.col("tf").cast("double"), F.col("dl").cast("double"),
+                    avgdl, k1, b))
+    scored = (contrib.groupBy("seed_id", "doc_id")
+              .agg(F.sum("_c").alias("score"))
+              .join(sd, "seed_id")
+              .where(F.col("doc_id") != F.col("_seed_doc")))
+    score_key = F.round(F.col("score"), round_digits)
+    w = Window.partitionBy("seed_id").orderBy(score_key.desc(), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(F.col("seed_id").cast("int").alias("seed_id"), "rank",
+                F.col("doc_id").cast("long").alias("doc_id"),
+                score_key.alias("score"))
+    )

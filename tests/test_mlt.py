@@ -1,0 +1,53 @@
+"""more_like_this semantics on a hand-built corpus: term selection by
+tf·idf with deterministic tie-break, seed self-exclusion, rank order."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mee_spark.postings import build_postings
+from mee_spark.query import more_like_this
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t.split()) for i, t in rows],
+        "doc_id long, tokens array<string>",
+    ).withColumn("dl", F.size("tokens").cast("long"))
+
+
+def test_mlt_excludes_seed_and_ranks_by_shared_rare_terms(spark):
+    # doc 1 (seed): rare terms "zebra quark"; doc 2 shares both, doc 3
+    # shares one, doc 4 only the stop-word "the" (low idf, still in the
+    # seed's top-5 because the seed has only 3 distinct terms)
+    docs = _docs(spark, [
+        (1, "zebra quark the"),
+        (2, "zebra quark the filler words here"),
+        (3, "zebra common words everywhere now"),
+        (4, "the the the other stuff"),
+        (5, "nothing shared at all"),
+    ])
+    seeds = spark.createDataFrame([(0, 1)], "seed_id int, doc_id long")
+    out = more_like_this(build_postings(docs), seeds,
+                         n_docs=5, avgdl=4.6, m=5, k=10)
+    rows = out.orderBy("rank").collect()
+    ranked_docs = [r.doc_id for r in rows]
+    assert 1 not in ranked_docs          # seed never ranks itself
+    assert ranked_docs[0] == 2           # shares both rare terms
+    assert set(ranked_docs) == {2, 3, 4}  # doc 5 matches nothing
+    assert [r.rank for r in rows] == [1, 2, 3]
+
+
+def test_mlt_term_cap_m_limits_query(spark):
+    # m=1 keeps only the top tf-idf term; with equal tf everywhere the
+    # rarest term wins, and docs lacking it never rank
+    docs = _docs(spark, [
+        (1, "rare shared shared"),   # seed: tf(shared)=2 > tf(rare)=1
+        (2, "rare alone"),
+        (3, "shared alone"),
+    ])
+    seeds = spark.createDataFrame([(0, 1)], "seed_id int, doc_id long")
+    out = more_like_this(build_postings(docs), seeds,
+                         n_docs=3, avgdl=2.33, m=1, k=10)
+    # tf*idf: shared -> 2*idf(df=2), rare -> 1*idf(df=2): "shared" wins
+    assert {r.doc_id for r in out.collect()} == {3}
