@@ -288,6 +288,50 @@ def q_fulltext_phrase_topk(spark, sf_dir):
 MLT_SEEDS = [(0, 1), (1, 42), (2, 7)]
 
 
+def _qterms_df(spark):
+    """Distinct (query_id, term) for the flagship query set."""
+    from mee_spark.textprep import py_tokenize
+
+    rows = [(q, t) for q, text, _ in BM25_QUERIES
+            for t in sorted(set(py_tokenize(text)))]
+    return spark.createDataFrame(rows, "query_id int, term string")
+
+
+def q_fulltext_topk_snippets(spark, sf_dir):
+    """The search-results page: BM25 top-k per query, each hit carrying
+    an ES-highlighter-style snippet (±3 tokens around the first
+    query-term occurrence). Snippets are built only for the retrieved
+    docs — the top-k set is pinned with localCheckpoint and semi-joined
+    back into the corpus, so at 100 TB the snippet pass touches k docs
+    per query, not every match."""
+    from mee_spark.phrase import first_hit_snippets
+    from mee_spark.postings import build_postings
+    from mee_spark.query import bm25_topk_exhaustive
+
+    docs = _docs(spark, sf_dir)
+    stats = docs.agg(F.count("*").alias("n"), F.avg("dl").alias("a")).collect()[0]
+    res = bm25_topk_exhaustive(
+        build_postings(docs), _queries_df(spark),
+        int(stats["n"]), float(stats["a"]), k=None, round_digits=6,
+    ).localCheckpoint(eager=False)
+    hit_docs = docs.join(
+        F.broadcast(res.select("doc_id").distinct()), "doc_id")
+    snip = first_hit_snippets(hit_docs, _qterms_df(spark), window=3)
+    return res.join(snip, ["query_id", "doc_id"]).select(
+        "query_id", "rank", "doc_id", "score", "hit_pos", "snippet")
+
+
+def q_fulltext_facets(spark, sf_dir):
+    """ES terms-aggregation under a match query: per query, matching-doc
+    counts bucketed by the documents table's lang column."""
+    from mee_spark.phrase import facet_counts
+
+    docs = _docs(spark, sf_dir)
+    meta = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang")
+    return facet_counts(meta, _qterms_df(spark), docs, "lang")
+
+
 def q_fulltext_more_like_this(spark, sf_dir):
     """ES more-like-this: per seed doc, top-5 tf-idf terms → BM25 top-10
     over the corpus, seed excluded."""
@@ -1201,6 +1245,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fulltext_wand_conjunctive": q_fulltext_wand_conjunctive,
         "fulltext_phrase_match": q_fulltext_phrase_match,
         "fulltext_more_like_this": q_fulltext_more_like_this,
+        "fulltext_topk_snippets": q_fulltext_topk_snippets,
+        "fulltext_facets": q_fulltext_facets,
         "fulltext_phrase_topk": q_fulltext_phrase_topk,
         "fulltext_prefix_match": q_fulltext_prefix_match,
         "fulltext_lifecycle": q_fulltext_lifecycle,
@@ -1275,6 +1321,35 @@ SELECT doc_id, dl FROM doclen
         "fulltext_bm25_wand": _BM25_SQL,
         "fulltext_wand_conjunctive": _bm25_sql_over(
             "SELECT doc_id, text FROM documents", BM25_QUERIES, conjunctive=True),
+        "fulltext_topk_snippets": f"""
+WITH res AS (SELECT * FROM ({_BM25_SQL})),
+sdocs AS (SELECT doc_id, {_toks('text')} AS toks FROM documents),
+spos AS (SELECT doc_id, unnest(toks) AS term,
+                generate_subscripts(toks, 1) - 1 AS p FROM sdocs),
+sqs(query_id, query_text, k) AS (VALUES {", ".join(f"({q}, '{t}', {k})" for q, t, k in BM25_QUERIES)}),
+sqt AS (SELECT DISTINCT query_id, unnest({_toks('query_text')}) AS term FROM sqs),
+shits AS (SELECT q.query_id, p.doc_id, min(p.p) AS hit_pos
+          FROM spos p JOIN sqt q USING (term) GROUP BY 1, 2)
+SELECT r.query_id, r.rank, r.doc_id, r.score,
+       h.hit_pos::BIGINT AS hit_pos,
+       array_to_string(list_slice(d.toks,
+                                  greatest(h.hit_pos - 2, 1),
+                                  h.hit_pos + 4), ' ') AS snippet
+FROM res r
+JOIN shits h ON r.query_id = h.query_id AND r.doc_id = h.doc_id
+JOIN sdocs d ON d.doc_id = r.doc_id
+""",
+        "fulltext_facets": f"""
+WITH docs AS (SELECT doc_id, lang, {_toks('text')} AS toks FROM documents),
+tok AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM docs),
+fqs(query_id, query_text, k) AS (VALUES {", ".join(f"({q}, '{t}', {k})" for q, t, k in BM25_QUERIES)}),
+fqt AS (SELECT DISTINCT query_id, unnest({_toks('query_text')}) AS term FROM fqs),
+matched AS (SELECT DISTINCT q.query_id, t.doc_id
+            FROM tok t JOIN fqt q USING (term))
+SELECT m.query_id::INT AS query_id, d.lang, count(*)::BIGINT AS n_docs
+FROM matched m JOIN docs d USING (doc_id)
+GROUP BY 1, 2
+""",
         "fulltext_more_like_this": f"""
 WITH {_FULLTEXT_CTE},
 seeds(seed_id, sdoc) AS (VALUES {", ".join(f"({s}, {d})" for s, d in MLT_SEEDS)}),

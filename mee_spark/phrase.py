@@ -106,3 +106,68 @@ def prefix_match(postings: DataFrame, prefixes: DataFrame) -> DataFrame:
         .agg(F.countDistinct("term").cast("long").alias("n_terms"),
              F.sum("tf").cast("long").alias("total_tf"))
     )
+
+
+def first_hit_snippets(docs: DataFrame, qterms: DataFrame,
+                       window: int = 3) -> DataFrame:
+    """Token-window snippets around the first query-term hit per doc.
+
+    (doc_id, tokens) × (query_id, term) → (query_id, doc_id, hit_pos,
+    snippet): ``hit_pos`` is the earliest position of ANY of the query's
+    terms in the doc (docs with no hit produce no row), ``snippet`` the
+    ``window`` tokens either side of it — the deterministic core of ES's
+    highlighter (fragment selection around the first match).
+
+    Scale: the exploded token stream is filtered map-side by the
+    broadcast term set; the min-position groupBy shuffles matched
+    occurrences only. Compose AFTER top-k retrieval at 100 TB (see
+    ``q_fulltext_topk_snippets``) so snippets are built for k docs per
+    query, not every match.
+    """
+    tok = docs.select("doc_id", F.posexplode("tokens").alias("p", "term"))
+    hits = (tok.join(F.broadcast(qterms), "term")
+            .groupBy("query_id", "doc_id")
+            .agg(F.min("p").alias("hit_pos")))
+    return (
+        hits.join(docs.select("doc_id", "tokens"), "doc_id")
+        .select(
+            "query_id", "doc_id",
+            F.col("hit_pos").cast("long").alias("hit_pos"),
+            F.array_join(
+                # slice() is 1-based; clamp the left edge at the doc start
+                F.slice(
+                    "tokens",
+                    F.greatest(F.col("hit_pos") - window + 1, F.lit(1)),
+                    # left-clamped windows still end at hit_pos + window
+                    F.col("hit_pos") + window + 1
+                    - F.greatest(F.col("hit_pos") - window, F.lit(0)),
+                ),
+                " ",
+            ).alias("snippet"),
+        )
+    )
+
+
+def facet_counts(docs_meta: DataFrame, qterms: DataFrame,
+                 docs: DataFrame, facet_col: str) -> DataFrame:
+    """Terms-aggregation under a query (ES ``aggs`` on a filtered set):
+    per query, how many matching docs fall in each ``facet_col`` bucket.
+
+    ``docs_meta`` carries (doc_id, <facet_col>); a doc matches a query
+    if it contains ANY of its terms (OR semantics, like ES ``match``).
+    Returns (query_id, <facet_col>, n_docs).
+
+    Scale: matched (query_id, doc_id) pairs come from one broadcast
+    join over the exploded tokens; the facet join is a broadcast-able
+    dimension lookup only when docs_meta is small — here it rides the
+    same corpus relation, so Catalyst plans a shuffled join on doc_id,
+    which is the right shape (both sides corpus-sized, co-partitioned).
+    """
+    tok = docs.select("doc_id", F.explode("tokens").alias("term"))
+    matched = (tok.join(F.broadcast(qterms), "term")
+               .select("query_id", "doc_id").distinct())
+    return (
+        matched.join(docs_meta.select("doc_id", facet_col), "doc_id")
+        .groupBy("query_id", facet_col)
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )

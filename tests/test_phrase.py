@@ -77,3 +77,49 @@ def test_anchor_join_broadcasts_phrase_side(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_snippet_window_clamps_at_both_ends(spark):
+    from mee_spark.phrase import first_hit_snippets
+
+    docs = _docs(spark, [
+        (1, "hit a b c d e f"),     # hit at 0: left edge clamps
+        (2, "a b c d e f hit"),     # hit at 6: right edge clamps
+        (3, "a b c hit d e f"),     # hit at 3: full +/-3 window
+        (4, "no match here"),
+    ])
+    qt = spark.createDataFrame([(0, "hit")], "query_id int, term string")
+    out = {r.doc_id: (r.hit_pos, r.snippet)
+           for r in first_hit_snippets(docs, qt, window=3).collect()}
+    assert out == {
+        1: (0, "hit a b c"),
+        2: (6, "d e f hit"),
+        3: (3, "a b c hit d e f"),
+    }
+
+
+def test_snippet_uses_earliest_hit_of_any_query_term(spark):
+    from mee_spark.phrase import first_hit_snippets
+
+    docs = _docs(spark, [(1, "x x late x early x x late")])
+    qt = spark.createDataFrame(
+        [(0, "late"), (0, "early")], "query_id int, term string")
+    [row] = first_hit_snippets(docs, qt, window=1).collect()
+    assert (row.hit_pos, row.snippet) == (2, "x late x")
+
+
+def test_facets_or_semantics_and_distinct_docs(spark):
+    from mee_spark.phrase import facet_counts
+
+    docs = _docs(spark, [
+        (1, "a b"), (2, "a a a"), (3, "b"), (4, "c"),
+    ])
+    meta = spark.createDataFrame(
+        [(1, "en"), (2, "en"), (3, "de"), (4, "en")],
+        "doc_id long, lang string")
+    qt = spark.createDataFrame(
+        [(0, "a"), (0, "b"), (1, "c")], "query_id int, term string")
+    out = {(r.query_id, r.lang): r.n_docs
+           for r in facet_counts(meta, qt, docs, "lang").collect()}
+    # doc 1 matches both terms of query 0 but counts once (OR semantics)
+    assert out == {(0, "en"): 2, (0, "de"): 1, (1, "en"): 1}
