@@ -288,6 +288,28 @@ def q_fulltext_phrase_topk(spark, sf_dir):
 MLT_SEEDS = [(0, 1), (1, 42), (2, 7)]
 
 
+BOOL_QUERIES = [
+    (0, "spark query", "merge", 10),
+    (1, "order line", "customer", 10),
+    (2, "the fast", "", 5),              # empty must_not -> conjunctive
+    (3, "stream window", "nosuchterm", 10),
+]
+
+
+def q_fulltext_bool(spark, sf_dir):
+    """ES bool query: AND-scored must terms, must_not exclusion, dense
+    re-rank of the survivors."""
+    from mee_spark.postings import build_postings
+    from mee_spark.query import bm25_topk_boolean
+
+    docs = _docs(spark, sf_dir)
+    stats = docs.agg(F.count("*").alias("n"), F.avg("dl").alias("a")).collect()[0]
+    queries = spark.createDataFrame(
+        BOOL_QUERIES, "query_id int, query_text string, not_text string, k int")
+    return bm25_topk_boolean(build_postings(docs), queries,
+                             int(stats["n"]), float(stats["a"]))
+
+
 def _qterms_df(spark):
     """Distinct (query_id, term) for the flagship query set."""
     from mee_spark.textprep import py_tokenize
@@ -535,6 +557,23 @@ def q_text_vocab_topk(spark, sf_dir):
     from mee_spark.textops import vocab_topk
 
     return vocab_topk(_read(spark, sf_dir, "documents"), k=20)
+
+
+def q_dedup_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: the eval set is 103-of-corpus docs
+    truncated to their first 40 tokens (verbatim leakage scenario);
+    flag every training doc sharing an 8-gram with a probe."""
+    from mee_spark.dedup import decontaminate
+    from mee_spark.textprep import tokenize_col
+
+    docs = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text")
+    probes = (docs.where(F.col("doc_id") % 97 == 11)
+              .select(F.col("doc_id").alias("probe_id"),
+                      F.array_join(
+                          F.slice(tokenize_col(F.col("text")), 1, 40),
+                          " ").alias("text")))
+    return decontaminate(docs, probes, n=8)
 
 
 def q_dedup_coverage(spark, sf_dir):
@@ -1246,6 +1285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fulltext_phrase_match": q_fulltext_phrase_match,
         "fulltext_more_like_this": q_fulltext_more_like_this,
         "fulltext_topk_snippets": q_fulltext_topk_snippets,
+        "fulltext_bool": q_fulltext_bool,
         "fulltext_facets": q_fulltext_facets,
         "fulltext_phrase_topk": q_fulltext_phrase_topk,
         "fulltext_prefix_match": q_fulltext_prefix_match,
@@ -1264,6 +1304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pack_sequences": q_text_pack_sequences,
         "text_vocab_topk": q_text_vocab_topk,
         "dedup_coverage": q_dedup_coverage,
+        "dedup_decontaminate": q_dedup_decontaminate,
         "dedup_winnow": q_dedup_winnow,
         "dedup_clusters": q_dedup_clusters,
         "pipeline_curate": q_pipeline_curate,
@@ -1321,6 +1362,37 @@ SELECT doc_id, dl FROM doclen
         "fulltext_bm25_wand": _BM25_SQL,
         "fulltext_wand_conjunctive": _bm25_sql_over(
             "SELECT doc_id, text FROM documents", BM25_QUERIES, conjunctive=True),
+        "fulltext_bool": f"""
+WITH {_FULLTEXT_CTE},
+bqs(query_id, must_text, not_text, k) AS (VALUES {", ".join(f"({q}, '{m}', '{n}', {k})" for q, m, n, k in BOOL_QUERIES)}),
+mterms AS (SELECT DISTINCT query_id, k, unnest({_toks('must_text')}) AS term FROM bqs),
+mn AS (SELECT query_id, count(*)::BIGINT AS n_terms FROM mterms GROUP BY 1),
+nterms AS (SELECT DISTINCT query_id, unnest({_toks('not_text')}) AS term FROM bqs),
+excl AS (SELECT DISTINCT n.query_id, p.doc_id
+         FROM postings p JOIN nterms n USING (term)),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM postings
+          WHERE term IN (SELECT term FROM mterms) GROUP BY 1),
+stats AS (SELECT count(*)::BIGINT AS n, avg(dl) AS avgdl FROM doclen),
+contrib AS (
+  SELECT q.query_id, q.k, p.doc_id,
+         ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+         * (p.tf * (1.2 + 1.0)) / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * p.dl / s.avgdl)) AS c
+  FROM postings p JOIN mterms q USING (term) JOIN dfreq d USING (term) CROSS JOIN stats s),
+bscored AS (SELECT query_id, k, doc_id, sum(c) AS score,
+                   count(*)::BIGINT AS matched
+            FROM contrib GROUP BY 1, 2, 3),
+bkept AS (
+  SELECT s.* FROM bscored s JOIN mn USING (query_id)
+  WHERE s.matched = mn.n_terms
+    AND NOT EXISTS (SELECT 1 FROM excl e
+                    WHERE e.query_id = s.query_id AND e.doc_id = s.doc_id)),
+branked AS (
+  SELECT query_id::INT AS query_id, doc_id, round(score, 6) AS score, k,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 6) DESC, doc_id) AS rank
+  FROM bkept)
+SELECT query_id, rank, doc_id, score FROM branked WHERE rank <= k
+""",
         "fulltext_topk_snippets": f"""
 WITH res AS (SELECT * FROM ({_BM25_SQL})),
 sdocs AS (SELECT doc_id, {_toks('text')} AS toks FROM documents),
@@ -1511,6 +1583,24 @@ WITH d AS (SELECT doc_id::BIGINT AS doc_id,
 SELECT min(doc_id) AS doc_id, count(*)::BIGINT AS n_dupes FROM d GROUP BY fp
 """,
         "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
+        "dedup_decontaminate": f"""
+WITH d AS (SELECT doc_id::BIGINT AS doc_id, {_toks('text')} AS toks FROM documents),
+dg AS (SELECT doc_id, unnest(list_distinct(
+  [array_to_string(toks[i:i+7], ' ') for i in range(1, greatest(len(toks) - 7, 1) + 1)]
+  )) AS gram FROM d),
+dsh AS (SELECT DISTINCT doc_id, {_hash15('gram')} AS shingle FROM dg WHERE length(gram) > 0),
+p AS (SELECT doc_id AS probe_id, toks[1:40] AS ptoks FROM d WHERE doc_id % 97 = 11),
+pg AS (SELECT probe_id, unnest(list_distinct(
+  [array_to_string(ptoks[i:i+7], ' ') for i in range(1, greatest(len(ptoks) - 7, 1) + 1)]
+  )) AS gram FROM p),
+psh AS (SELECT DISTINCT probe_id, {_hash15('gram')} AS shingle FROM pg WHERE length(gram) > 0),
+psz AS (SELECT probe_id, count(*)::BIGINT AS probe_ngrams FROM psh GROUP BY 1),
+shared AS (SELECT ps.probe_id, ds.doc_id, count(*)::BIGINT AS shared_ngrams
+           FROM dsh ds JOIN psh ps USING (shingle) GROUP BY 1, 2)
+SELECT s.probe_id, s.doc_id, s.shared_ngrams, z.probe_ngrams,
+       round(s.shared_ngrams / z.probe_ngrams::DOUBLE, 6) AS frac
+FROM shared s JOIN psz z USING (probe_id)
+""",
         "dedup_minhash_lsh": _MINHASH_LSH_SQL,
         "dedup_simhash": _SIMHASH_SQL,
         "dedup_simhash_pairs": _SIMHASH_PAIRS_SQL,

@@ -396,3 +396,43 @@ def dup_shingle_coverage(docs: DataFrame, n: int = 3) -> DataFrame:
                             / F.col("n_shingles")).cast("long"))
         .select("doc_id", "n_shingles", "dup_shingles", "dup_ppm")
     )
+
+
+def decontaminate(docs: DataFrame, probes: DataFrame, n: int = 8,
+                  min_shared: int = 1) -> DataFrame:
+    """Benchmark decontamination: which training docs share verbatim
+    n-grams with an evaluation set?
+
+    ``docs`` is the training corpus (doc_id, text); ``probes`` the eval
+    set (probe_id, text). Returns (probe_id, doc_id, shared_ngrams,
+    probe_ngrams, frac) for pairs sharing ≥ ``min_shared`` distinct
+    token n-grams, where ``frac`` is the contaminated share of the
+    probe's n-grams — the filter signal for dropping tainted training
+    docs (or flagging tainted eval items).
+
+    Scale shape: eval sets are small (thousands of items) while the
+    corpus is the 10^12-doc side, so the probe shingle set broadcasts
+    and the corpus shingle stream is filtered map-side — the only
+    shuffle is the per-(probe, doc) overlap count, whose input is just
+    the matched grams. With n=8 a cross-doc collision is essentially
+    always a real verbatim overlap, so no verify pass is needed
+    (contrast ``ngram_jaccard_pairs`` at n=3).
+    """
+    d_sh = shingles(docs, n)
+    p_sh = shingles(
+        probes.select(F.col("probe_id").alias("doc_id"), "text"), n
+    ).select(F.col("doc_id").alias("probe_id"), "shingle")
+    p_sz = p_sh.groupBy("probe_id").agg(
+        F.count("*").cast("long").alias("probe_ngrams"))
+    shared = (
+        d_sh.join(F.broadcast(p_sh), "shingle")
+        .groupBy("probe_id", "doc_id")
+        .agg(F.count("*").cast("long").alias("shared_ngrams"))
+    )
+    return (
+        shared.join(F.broadcast(p_sz), "probe_id")
+        .where(F.col("shared_ngrams") >= min_shared)
+        .select("probe_id", "doc_id", "shared_ngrams", "probe_ngrams",
+                F.round(F.col("shared_ngrams")
+                        / F.col("probe_ngrams").cast("double"), 6).alias("frac"))
+    )

@@ -215,3 +215,57 @@ def more_like_this(
                 F.col("doc_id").cast("long").alias("doc_id"),
                 score_key.alias("score"))
     )
+
+
+def bm25_topk_boolean(
+    postings: DataFrame,
+    queries: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    k1: float = K1,
+    b: float = B,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """ES bool query: ``must`` terms (AND semantics, scored) with
+    ``must_not`` exclusion (unscored filter).
+
+    ``queries`` carries (query_id, query_text, not_text, k): a doc ranks
+    iff it contains EVERY must term and NO must_not term; scoring is the
+    same BM25 sum over the must terms as the conjunctive path. An empty
+    ``not_text`` degrades to plain conjunctive search.
+
+    Scale shape: the exclusion is a broadcast-filtered distinct
+    (query_id, doc_id) set left-anti-joined AFTER the scoring aggregate
+    — the postings relation still never shuffles for the probe, and the
+    anti join keys on the already-aggregated (query, doc) pairs, so the
+    must_not pass costs one broadcast scan of the excluded terms'
+    postings, not a corpus pass.
+    """
+    # rank over ALL conjunctive matches (k -> unbounded): exclusion must
+    # see the full candidate list, else a doc at rank k+1 could never be
+    # promoted when an excluded doc above it drops out
+    must = queries.select(
+        "query_id", "query_text", F.lit(2**31 - 1).alias("k"))
+    res = bm25_topk_conjunctive(
+        postings, must, n_docs, avgdl, k=None,
+        k1=k1, b=b, round_digits=None)
+    not_terms = (
+        queries.select(
+            "query_id", F.explode(tokenize_col(F.col("not_text"))).alias("term"))
+        .distinct())
+    excluded = (postings.join(F.broadcast(not_terms), "term")
+                .select("query_id", "doc_id").distinct())
+    kept = res.join(excluded, ["query_id", "doc_id"], "left_anti")
+    # ranks must be dense AFTER exclusion — recompute on the survivors
+    score_key = (F.round(F.col("score"), round_digits)
+                 if round_digits is not None else F.col("score"))
+    w = Window.partitionBy("query_id").orderBy(score_key.desc(), F.col("doc_id").asc())
+    kq = queries.select("query_id", F.col("k").alias("_k"))
+    out_score = (score_key.alias("score")
+                 if round_digits is not None else F.col("score"))
+    return (
+        kept.withColumn("rank", F.row_number().over(w).cast("long"))
+        .join(F.broadcast(kq), "query_id")
+        .filter(F.col("rank") <= F.col("_k"))
+        .select("query_id", "rank", "doc_id", out_score)
+    )

@@ -321,3 +321,34 @@ def test_connected_components_hub(spark):
            for r in dup_connected_components(pairs).collect()}
     assert set(got.values()) == {490}
     assert len(got) == 10
+
+
+def test_decontaminate_flags_verbatim_leak_and_scores_frac(spark):
+    from mee_spark.dedup import decontaminate
+
+    corpus = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"),        # source of the probe
+         (2, "a b c d e f g h zz yy"),      # shares the first 8-gram only
+         (3, "totally different words here with nothing shared at all")],
+        "doc_id long, text string")
+    # probe = doc 1's first 9 tokens -> two distinct 8-grams
+    probes = spark.createDataFrame(
+        [(100, "a b c d e f g h i")], "probe_id long, text string")
+    out = {(r.probe_id, r.doc_id): (r.shared_ngrams, r.probe_ngrams, r.frac)
+           for r in decontaminate(corpus, probes, n=8).collect()}
+    assert out == {
+        (100, 1): (2, 2, 1.0),
+        (100, 2): (1, 2, 0.5),
+    }
+
+
+def test_decontaminate_min_shared_threshold(spark):
+    from mee_spark.dedup import decontaminate
+
+    corpus = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "a b c d e f g h zz yy")],
+        "doc_id long, text string")
+    probes = spark.createDataFrame(
+        [(100, "a b c d e f g h i")], "probe_id long, text string")
+    out = decontaminate(corpus, probes, n=8, min_shared=2)
+    assert [r.doc_id for r in out.collect()] == [1]

@@ -51,3 +51,41 @@ def test_mlt_term_cap_m_limits_query(spark):
                          n_docs=3, avgdl=2.33, m=1, k=10)
     # tf*idf: shared -> 2*idf(df=2), rare -> 1*idf(df=2): "shared" wins
     assert {r.doc_id for r in out.collect()} == {3}
+
+
+def test_bool_excluded_doc_promotes_lower_ranks(spark):
+    from mee_spark.query import bm25_topk_boolean
+
+    # all docs contain "q"; doc 1 scores highest (tf) but carries the
+    # banned term, so doc 2 must take rank 1 and doc 3 must enter the
+    # k=2 result that doc 1's exclusion frees up
+    docs = _docs(spark, [
+        (1, "q q q q ban"),
+        (2, "q q q filler pad"),
+        (3, "q q x filler pad"),
+        (4, "q x y filler pad"),
+    ])
+    queries = spark.createDataFrame(
+        [(0, "q", "ban", 2)],
+        "query_id int, query_text string, not_text string, k int")
+    out = bm25_topk_boolean(build_postings(docs), queries,
+                            n_docs=4, avgdl=5.0)
+    rows = sorted((r.rank, r.doc_id) for r in out.collect())
+    assert rows == [(1, 2), (2, 3)]
+
+
+def test_bool_empty_not_text_is_plain_conjunctive(spark):
+    from mee_spark.query import bm25_topk_boolean, bm25_topk_conjunctive
+
+    docs = _docs(spark, [(1, "a b c"), (2, "a b"), (3, "a x y")])
+    p = build_postings(docs)
+    bq = spark.createDataFrame(
+        [(0, "a b", "", 10)],
+        "query_id int, query_text string, not_text string, k int")
+    cq = spark.createDataFrame(
+        [(0, "a b", 10)], "query_id int, query_text string, k int")
+    got = sorted((r.rank, r.doc_id, r.score)
+                 for r in bm25_topk_boolean(p, bq, 3, 2.67).collect())
+    want = sorted((r.rank, r.doc_id, r.score)
+                  for r in bm25_topk_conjunctive(p, cq, 3, 2.67, k=None).collect())
+    assert got == want
