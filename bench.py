@@ -171,12 +171,14 @@ TIMED_QUERIES = [
     "text_sample_stratified", "text_pack_sequences", "text_vocab_topk",
     "dedup_coverage",
 ]
-# the untimed steady-state pass covers the repeatable analytic queries;
-# the end-to-end lifecycle/streaming entries are build-dominated (their
-# cost IS unique work, cold==warm) so a second execution would only burn
-# wall budget
-_END_TO_END = {"fulltext_lifecycle", "fulltext_compacted",
-               "stream_windowed_counts", "stream_dedup_urls"}
+# the untimed steady-state pass covers every query whose cold cost is
+# warmable overhead rather than unique work. The lifecycle pair builds
+# real index generations each run (cold==warm), so re-running them only
+# burns wall budget — but the STREAMING entries turned out to be
+# dominated by cold Python-worker / state-store spin-up (stream_dedup_
+# urls: 12.5 s first run -> 3.6 s every run after, identical output),
+# which is exactly what the warm pass exists to absorb, so they warm now
+_END_TO_END = {"fulltext_lifecycle", "fulltext_compacted"}
 WARM_PASS_QUERIES = [q for q in TIMED_QUERIES if q not in _END_TO_END]
 
 
