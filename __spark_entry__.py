@@ -502,6 +502,44 @@ def q_text_bpe_stats(spark, sf_dir):
         F.col("doc_id").cast("long").alias("doc_id"), "text"))
 
 
+def _pii_corpus(spark, sf_dir):
+    """documents with deterministic synthetic PII appended (the raw
+    corpus is PII-free word salad, so detection would be vacuously
+    zero): emails on doc_id%13==4, IPv4 on %17==3, phones on %19==6 —
+    the same expression the oracle builds in SQL."""
+    d = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text")
+    sid = F.col("doc_id").cast("string")
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 13 == 4,
+                   F.concat(F.lit(" contact user"), sid,
+                            F.lit("@example.com"))).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 17 == 3,
+                   F.concat(F.lit(" from 10.0."),
+                            (F.col("doc_id") % 256).cast("string"),
+                            F.lit(".7"))).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 19 == 6,
+                   F.concat(F.lit(" call +1-555-"),
+                            F.format_string("%03d", F.col("doc_id") % 1000),
+                            F.lit("-0199"))).otherwise(F.lit("")),
+        ).alias("text"))
+
+
+def q_text_pii(spark, sf_dir):
+    from mee_spark.textops import pii_stats
+
+    return pii_stats(_pii_corpus(spark, sf_dir))
+
+
+def q_text_pii_redact(spark, sf_dir):
+    from mee_spark.textops import pii_redact
+
+    return pii_redact(_pii_corpus(spark, sf_dir))
+
+
 def q_text_repetition(spark, sf_dir):
     from mee_spark.textops import repetition_stats
 
@@ -1319,6 +1357,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "text_bpe_stats": q_text_bpe_stats,
         "text_repetition": q_text_repetition,
+        "text_pii": q_text_pii,
+        "text_pii_redact": q_text_pii_redact,
         "text_winnow": q_text_winnow,
         "text_source_stats": q_text_source_stats,
         "text_token_quantiles": q_text_token_quantiles,
@@ -1360,7 +1400,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+_PII_CORPUS_SQL = """
+SELECT doc_id::BIGINT AS doc_id, text
+  || CASE WHEN doc_id % 13 = 4
+          THEN ' contact user' || doc_id::VARCHAR || '@example.com'
+          ELSE '' END
+  || CASE WHEN doc_id % 17 = 3
+          THEN ' from 10.0.' || (doc_id % 256)::VARCHAR || '.7'
+          ELSE '' END
+  || CASE WHEN doc_id % 19 = 6
+          THEN ' call +1-555-' || lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-0199'
+          ELSE '' END AS text
+FROM documents
+"""
+
+
 def oracle_sql() -> dict[str, str]:
+    from mee_spark.textops import PII_EMAIL_RE, PII_IPV4_RE, PII_PHONE_RE
+
     return {
         "fulltext_postings": f"""
 WITH {_FULLTEXT_CTE}
@@ -1513,6 +1570,26 @@ WITH d AS (SELECT doc_id, array_to_string({_toks('text')}, ' ') AS norm FROM doc
 SELECT doc_id, md5(norm) AS fp, {_hash15('norm')} AS fp_hash FROM d
 """,
         "text_bpe_stats": _BPE_SQL,
+        "text_pii": f"""
+WITH pii AS ({_PII_CORPUS_SQL})
+SELECT doc_id,
+       len(regexp_extract_all(text, '{PII_EMAIL_RE}'))::BIGINT AS n_emails,
+       len(regexp_extract_all(text, '{PII_IPV4_RE}'))::BIGINT AS n_ipv4,
+       len(regexp_extract_all(text, '{PII_PHONE_RE}'))::BIGINT AS n_phones,
+       (len(regexp_extract_all(text, '{PII_EMAIL_RE}'))
+        + len(regexp_extract_all(text, '{PII_IPV4_RE}'))
+        + len(regexp_extract_all(text, '{PII_PHONE_RE}'))) > 0 AS has_pii
+FROM pii
+""",
+        "text_pii_redact": f"""
+WITH pii AS ({_PII_CORPUS_SQL})
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(text,
+           '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+           '{PII_IPV4_RE}', '<IP>', 'g'),
+           '{PII_PHONE_RE}', '<PHONE>', 'g') AS text_redacted
+FROM pii
+""",
         "text_repetition": f"""
 WITH d AS (SELECT doc_id, {_toks('text')} AS toks FROM documents),
 t AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens,

@@ -404,3 +404,47 @@ def vocab_topk(docs: DataFrame, k: int = 20, by: str = "lang") -> DataFrame:
     return (counts.withColumn("rank", F.row_number().over(w).cast("long"))
             .filter(F.col("rank") <= k)
             .select(by, "token", "cnt", "rank"))
+
+
+# PII patterns shared by detection and redaction. Kept to syntax that
+# means the same thing in Java regex (Spark) and RE2 (DuckDB): character
+# classes, bounded quantifiers, no backrefs/lookaround.
+PII_EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+PII_IPV4_RE = (r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}")
+PII_PHONE_RE = r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+def pii_stats(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) -> per-doc PII signal counts.
+
+    The standard webtext-curation step (C4/Dolma-style): count email
+    addresses, IPv4 literals, and +CC-XXX-XXX-XXXX phone numbers, plus a
+    combined ``has_pii`` flag for filter pipelines. Pure JVM regexes —
+    one pass per pattern inside whole-stage codegen, no Python, no
+    shuffle (per-row map over the scan).
+    """
+    n_email = F.size(F.regexp_extract_all("text", F.lit(PII_EMAIL_RE), F.lit(0)))
+    n_ipv4 = F.size(F.regexp_extract_all("text", F.lit(PII_IPV4_RE), F.lit(0)))
+    n_phone = F.size(F.regexp_extract_all("text", F.lit(PII_PHONE_RE), F.lit(0)))
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        n_email.cast("long").alias("n_emails"),
+        n_ipv4.cast("long").alias("n_ipv4"),
+        n_phone.cast("long").alias("n_phones"),
+        ((n_email + n_ipv4 + n_phone) > 0).alias("has_pii"),
+    )
+
+
+def pii_redact(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) -> (doc_id, text_redacted): mask every PII span
+    with a typed placeholder, longest-pattern first so an email is
+    masked whole rather than leaving its domain for the IP pass.
+    Same single-pass JVM shape as ``pii_stats``.
+    """
+    red = F.regexp_replace("text", PII_EMAIL_RE, "<EMAIL>")
+    red = F.regexp_replace(red, PII_IPV4_RE, "<IP>")
+    red = F.regexp_replace(red, PII_PHONE_RE, "<PHONE>")
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        red.alias("text_redacted"),
+    )

@@ -87,3 +87,27 @@ def test_repetition_stats_semantics(spark):
                       "top_bigram_ppm": 0}
     assert got[3] == {"doc_id": 3, "n_tokens": 5, "dup_token_ppm": 600000,
                       "top_bigram_ppm": 500000}
+
+
+def test_pii_stats_counts_each_kind(spark):
+    from mee_spark.textops import pii_stats
+
+    docs = spark.createDataFrame(
+        [(1, "reach me at jo.doe+spam@mail.example.org or 10.0.0.7"),
+         (2, "call +44-123-456-7890 twice: +1-555-000-1234"),
+         (3, "clean text no identifiers here")],
+        "doc_id long, text string")
+    out = {r.doc_id: (r.n_emails, r.n_ipv4, r.n_phones, r.has_pii)
+           for r in pii_stats(docs).collect()}
+    assert out == {1: (1, 1, 0, True), 2: (0, 0, 2, True),
+                   3: (0, 0, 0, False)}
+
+
+def test_pii_redact_masks_whole_spans(spark):
+    from mee_spark.textops import pii_redact
+
+    docs = spark.createDataFrame(
+        [(1, "mail a.b@c.org ip 1.2.3.4 tel +1-555-123-4567 end")],
+        "doc_id long, text string")
+    [row] = pii_redact(docs).collect()
+    assert row.text_redacted == "mail <EMAIL> ip <IP> tel <PHONE> end"
