@@ -288,6 +288,44 @@ def q_fulltext_phrase_topk(spark, sf_dir):
 MLT_SEEDS = [(0, 1), (1, 42), (2, 7)]
 
 
+FUZZY_QUERIES = [
+    (0, "spak", 10),        # deletion of "spark"
+    (1, "qury tble", 10),   # two typo terms in one query
+    (2, "windoq", 5),       # substitution of "window"
+    (3, "zzzzzzz", 10),     # nothing within distance 1
+]
+
+
+def q_fulltext_fuzzy(spark, sf_dir):
+    """ES fuzziness=1: query terms expand through the index dictionary
+    within edit distance 1, then standard BM25 over the expansion."""
+    from mee_spark.postings import build_postings
+    from mee_spark.query import bm25_topk_fuzzy
+
+    docs = _docs(spark, sf_dir)
+    stats = docs.agg(F.count("*").alias("n"), F.avg("dl").alias("a")).collect()[0]
+    queries = spark.createDataFrame(
+        FUZZY_QUERIES, "query_id int, query_text string, k int")
+    return bm25_topk_fuzzy(build_postings(docs), queries,
+                           int(stats["n"]), float(stats["a"]), max_dist=1)
+
+
+def q_fulltext_search_after(spark, sf_dir):
+    """ES search_after keyset pagination: the page of 10 hits strictly
+    after each flagship query's rank-5 hit, via the (score, doc_id)
+    keyset predicate rather than an offset."""
+    from mee_spark.postings import build_postings
+    from mee_spark.query import bm25_search_after
+
+    docs = _docs(spark, sf_dir)
+    stats = docs.agg(F.count("*").alias("n"), F.avg("dl").alias("a")).collect()[0]
+    queries = spark.createDataFrame(
+        [(q, t) for q, t, _ in BM25_QUERIES], "query_id int, query_text string")
+    return bm25_search_after(build_postings(docs), queries,
+                             int(stats["n"]), float(stats["a"]),
+                             after_rank=5, k=10)
+
+
 BOOL_QUERIES = [
     (0, "spark query", "merge", 10),
     (1, "order line", "customer", 10),
@@ -1346,6 +1384,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fulltext_more_like_this": q_fulltext_more_like_this,
         "fulltext_topk_snippets": q_fulltext_topk_snippets,
         "fulltext_bool": q_fulltext_bool,
+        "fulltext_fuzzy": q_fulltext_fuzzy,
+        "fulltext_search_after": q_fulltext_search_after,
         "fulltext_facets": q_fulltext_facets,
         "fulltext_phrase_topk": q_fulltext_phrase_topk,
         "fulltext_prefix_match": q_fulltext_prefix_match,
@@ -1441,6 +1481,49 @@ SELECT doc_id, dl FROM doclen
         "fulltext_bm25_wand": _BM25_SQL,
         "fulltext_wand_conjunctive": _bm25_sql_over(
             "SELECT doc_id, text FROM documents", BM25_QUERIES, conjunctive=True),
+        "fulltext_fuzzy": f"""
+WITH {_FULLTEXT_CTE},
+fqs(query_id, query_text, k) AS (VALUES {", ".join(f"({q}, '{t}', {k})" for q, t, k in FUZZY_QUERIES)}),
+fqt AS (SELECT DISTINCT query_id, k, unnest({_toks('query_text')}) AS term FROM fqs),
+dict AS (SELECT DISTINCT term FROM postings),
+expanded AS (
+  SELECT DISTINCT q.query_id, q.k, d.term
+  FROM fqt q JOIN dict d
+    ON abs(length(d.term) - length(q.term)) <= 1
+   AND levenshtein(d.term, q.term) <= 1),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM postings
+          WHERE term IN (SELECT term FROM expanded) GROUP BY 1),
+stats AS (SELECT count(*)::BIGINT AS n, avg(dl) AS avgdl FROM doclen),
+contrib AS (
+  SELECT q.query_id, q.k, p.doc_id,
+         ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+         * (p.tf * (1.2 + 1.0)) / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * p.dl / s.avgdl)) AS c
+  FROM postings p JOIN expanded q USING (term) JOIN dfreq d USING (term) CROSS JOIN stats s),
+fscored AS (SELECT query_id, k, doc_id, sum(c) AS score FROM contrib GROUP BY 1, 2, 3),
+franked AS (
+  SELECT query_id::INT AS query_id, doc_id, round(score, 6) AS score, k,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 6) DESC, doc_id) AS rank
+  FROM fscored)
+SELECT query_id, rank, doc_id, score FROM franked WHERE rank <= k
+""",
+        "fulltext_search_after": f"""
+WITH res AS (SELECT * FROM ({_bm25_sql_over("SELECT doc_id, text FROM documents",
+                                            [(q, t, 2**31 - 1) for q, t, _ in BM25_QUERIES])})),
+cursor AS (SELECT query_id, score AS c_score, doc_id AS c_doc
+           FROM res WHERE rank = 5),
+page AS (
+  SELECT r.query_id, r.doc_id, r.score
+  FROM res r JOIN cursor c USING (query_id)
+  WHERE r.score < c.c_score
+     OR (r.score = c.c_score AND r.doc_id > c.c_doc)),
+pranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS page_rank
+  FROM page)
+SELECT query_id, page_rank, doc_id, score FROM pranked WHERE page_rank <= 10
+""",
         "fulltext_bool": f"""
 WITH {_FULLTEXT_CTE},
 bqs(query_id, must_text, not_text, k) AS (VALUES {", ".join(f"({q}, '{m}', '{n}', {k})" for q, m, n, k in BOOL_QUERIES)}),

@@ -269,3 +269,123 @@ def bm25_topk_boolean(
         .filter(F.col("rank") <= F.col("_k"))
         .select("query_id", "rank", "doc_id", out_score)
     )
+
+
+def fuzzy_expand_terms(
+    postings: DataFrame,
+    qterms: DataFrame,
+    max_dist: int = 1,
+) -> DataFrame:
+    """Expand query terms to all index-dictionary terms within edit
+    distance ``max_dist`` (ES ``fuzziness``): (query_id[, k], term) →
+    distinct (query_id[, k], term) over matching dictionary entries.
+
+    Scale shape: the dictionary is ``postings``' distinct term set —
+    the one relation a term-level scan like this is FOR (ES walks the
+    same dictionary). Query terms broadcast; a length-difference
+    pre-filter prunes most of the dictionary before levenshtein runs,
+    all JVM-side. At 10^12 docs the dictionary still fits the scan
+    budget (vocabulary grows ~sublinearly), but a deletion-neighborhood
+    index (symspell) would replace the scan if fuzzy traffic dominated.
+    """
+    dict_terms = postings.select("term").distinct()
+    q = qterms.select(
+        *[F.col(c).alias(f"_q_{c}") for c in qterms.columns])
+    cand = dict_terms.join(
+        F.broadcast(q),
+        (F.abs(F.length("term") - F.length("_q_term")) <= max_dist)
+        & (F.levenshtein("term", "_q_term") <= max_dist))
+    out_cols = [F.col("_q_query_id").alias("query_id"), "term"]
+    if "_q_k" in cand.columns:
+        out_cols.insert(1, F.col("_q_k").alias("k"))
+    return cand.select(*out_cols).distinct()
+
+
+def bm25_topk_fuzzy(
+    postings: DataFrame,
+    queries: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    max_dist: int = 1,
+    k1: float = K1,
+    b: float = B,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Typo-tolerant BM25: expand each query term through the index
+    dictionary within ``max_dist`` edits, then score the expanded
+    (deduplicated) term set with the standard exhaustive plan. A query
+    whose terms match nothing in the dictionary returns no rows."""
+    qterms = explode_query_terms(queries)  # (query_id, k, term)
+    expanded = fuzzy_expand_terms(postings, qterms, max_dist)
+    # feed the expanded set through the exhaustive scorer by rebuilding
+    # a queries-like relation: one row per (query_id, term) with k
+    matched = postings.join(
+        F.broadcast(expanded.select("term").distinct()), "term")
+    dfreq = matched.groupBy("term").agg(F.count("*").alias("df"))
+    contrib = (
+        matched
+        .join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(expanded), "term")
+        .withColumn(
+            "_contrib",
+            idf_col(F.col("df").cast("double"), n_docs)
+            * tnorm_col(F.col("tf").cast("double"),
+                        F.col("dl").cast("double"), avgdl, k1, b),
+        )
+    )
+    scored = contrib.groupBy("query_id", "k", "doc_id").agg(
+        F.sum("_contrib").alias("score"))
+    score_key = (F.round(F.col("score"), round_digits)
+                 if round_digits is not None else F.col("score"))
+    w = Window.partitionBy("query_id").orderBy(score_key.desc(),
+                                               F.col("doc_id").asc())
+    out_score = (score_key.alias("score")
+                 if round_digits is not None else F.col("score"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= F.col("k"))
+        .select(F.col("query_id").cast("int").alias("query_id"), "rank",
+                F.col("doc_id").cast("long").alias("doc_id"), out_score)
+    )
+
+
+def bm25_search_after(
+    postings: DataFrame,
+    queries: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    after_rank: int,
+    k: int = 10,
+    k1: float = K1,
+    b: float = B,
+    round_digits: int = 6,
+) -> DataFrame:
+    """ES ``search_after`` keyset pagination: return the page of ``k``
+    results strictly after each query's rank-``after_rank`` hit, using
+    the (score desc, doc_id asc) sort key — NOT an offset: the filter is
+    the keyset predicate (score < s) OR (score = s AND doc_id > d), so
+    deep pages never recompute or skip earlier ones at the sink.
+
+    The cursor itself is derived in-plan from the same scored relation
+    (rank == after_rank), which keeps the whole page deterministic for
+    any corpus; a live service would pass the cursor values from the
+    previous page's last hit instead.
+    """
+    scored = bm25_topk_exhaustive(
+        postings, queries.select("query_id", "query_text",
+                                 F.lit(2**31 - 1).alias("k")),
+        n_docs, avgdl, k=None, k1=k1, b=b, round_digits=round_digits)
+    cursor = (scored.where(F.col("rank") == after_rank)
+              .select("query_id", F.col("score").alias("_c_score"),
+                      F.col("doc_id").alias("_c_doc")))
+    page = (scored.join(F.broadcast(cursor), "query_id")
+            .where((F.col("score") < F.col("_c_score"))
+                   | ((F.col("score") == F.col("_c_score"))
+                      & (F.col("doc_id") > F.col("_c_doc")))))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                               F.asc("doc_id"))
+    return (
+        page.withColumn("page_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("page_rank") <= k)
+        .select("query_id", "page_rank", "doc_id", "score")
+    )

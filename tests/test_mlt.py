@@ -89,3 +89,43 @@ def test_bool_empty_not_text_is_plain_conjunctive(spark):
     want = sorted((r.rank, r.doc_id, r.score)
                   for r in bm25_topk_conjunctive(p, cq, 3, 2.67, k=None).collect())
     assert got == want
+
+
+def test_fuzzy_expands_within_distance_one_only(spark):
+    from mee_spark.query import fuzzy_expand_terms
+
+    docs = _docs(spark, [(1, "spark sparks spa table stark")])
+    qt = spark.createDataFrame(
+        [(0, 10, "spak")], "query_id int, k int, term string")
+    out = fuzzy_expand_terms(build_postings(docs), qt, max_dist=1)
+    # spark (del r->spak? spak+r) d=1; spa d=1; sparks d=2; table d>1;
+    # stark d=2 (s->s? spak->stark needs 2)
+    assert {r.term for r in out.collect()} == {"spark", "spa"}
+
+
+def test_fuzzy_oov_query_matches_nothing(spark):
+    from mee_spark.query import bm25_topk_fuzzy
+
+    docs = _docs(spark, [(1, "alpha beta gamma")])
+    q = spark.createDataFrame(
+        [(0, "zzzzzz", 10)], "query_id int, query_text string, k int")
+    assert bm25_topk_fuzzy(build_postings(docs), q, 1, 3.0).count() == 0
+
+
+def test_search_after_page_continues_full_ranking(spark):
+    from mee_spark.query import bm25_search_after, bm25_topk_exhaustive
+
+    docs = _docs(spark, [
+        (i, "q " + "pad " * i) for i in range(1, 12)
+    ])
+    p = build_postings(docs)
+    queries = spark.createDataFrame(
+        [(0, "q")], "query_id int, query_text string")
+    full = bm25_topk_exhaustive(
+        p, queries.withColumn("k", F.lit(100)), 11, 12.0, k=None)
+    page = bm25_search_after(p, queries, 11, 12.0, after_rank=3, k=4)
+    want = [(r.rank - 3, r.doc_id, r.score)
+            for r in full.collect() if 4 <= r.rank <= 7]
+    got = [(r.page_rank, r.doc_id, r.score)
+           for r in page.orderBy("page_rank").collect()]
+    assert got == sorted(want)
