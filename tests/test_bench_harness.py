@@ -29,7 +29,8 @@ def _representative_headline() -> dict:
         "unit": "sec",
         "sf": "/root/testdata/sf0.1",
         "queries": queries,
-        "bench_docs": 600000,
+        "bench_docs": 300000,
+        "qindex_docs": 600000,
         "index_build_docs_per_sec": 14714.6,
         "sec_per_query": 0.1234,
         "sec_per_query_all": [0.1234, 0.2345, 0.1456],
@@ -46,7 +47,6 @@ def _representative_headline() -> dict:
                                       22.1, 20.9, 23.8],
         "query_warmup_pass_sec": 123.45,
         "spark_canary_query_phase_sec": 21.84,
-        "detail": "BENCH/last_run_full.json",
     }
 
 
