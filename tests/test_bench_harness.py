@@ -21,8 +21,8 @@ def _representative_headline() -> dict:
     # worst-ish case values: every query present with 3-decimal timings,
     # all optional fields populated, 5 pair efficiencies
     queries = {name: 123.46 for name in bench.TIMED_QUERIES}
-    # worst case: the full 8-pair plan (5 base + 3 host-conditioned
-    # extensions) so every per-pair evidence list carries 8 entries
+    # worst case: the full 9-pair plan (5 base + 4 host-conditioned
+    # extensions) so every per-pair evidence list carries 9 entries
     return {
         "metric": "build+query+scaling",
         "value": 12345.67,
@@ -35,16 +35,15 @@ def _representative_headline() -> dict:
         "sec_per_query": 0.1234,
         "sec_per_query_all": [0.1234, 0.2345, 0.1456],
         "scaling_efficiency": 0.875,
-        "scaling_efficiency_symmetric": 0.851,
         "scaling_efficiency_capable_windows": 0.944,
         "n_capable_pairs": 3,
         "pair_efficiencies": [0.918, 0.733, 0.823, 0.875, 0.911,
-                              0.844, 0.902, 0.888],
+                              0.844, 0.902, 0.888, 0.879],
         "dropped_pairs": 0,
         "t8_warmup_sec_per_pair": [21.8, 23.4, 34.7, 30.2, 21.3,
-                                   22.1, 20.9, 23.8],
+                                   22.1, 20.9, 23.8, 24.6],
         "spark_canary_sec_per_pair": [21.8, 23.4, 34.7, 30.2, 21.3,
-                                      22.1, 20.9, 23.8],
+                                      22.1, 20.9, 23.8, 24.6],
         "query_warmup_pass_sec": 123.45,
         "spark_canary_query_phase_sec": 21.84,
     }
