@@ -540,6 +540,22 @@ def q_text_bpe_stats(spark, sf_dir):
         F.col("doc_id").cast("long").alias("doc_id"), "text"))
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _shuffle_partitions(spark, n: int):
+    """Temporarily pin spark.sql.shuffle.partitions (streaming stateful
+    operators create one state store per shuffle partition per
+    micro-batch; the tiny staged streams need no wider state fan-out)."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def _pii_corpus(spark, sf_dir):
     """documents with deterministic synthetic PII appended (the raw
     corpus is PII-free word salad, so detection would be vacuously
@@ -1308,20 +1324,12 @@ def q_stream_windowed_counts(spark, sf_dir):
     counts = windowed_counts(src, "ts", "event_type",
                              window="1 hour", watermark="2 hours")
     name = "stream_wc_" + uuid.uuid4().hex[:8]
-    # stateful operators instantiate one state store per shuffle
-    # partition per micro-batch; for this all-JVM windowed aggregate
-    # that fixed cost dominates (measured 2.6 s -> 1.1 s at reduced
-    # partitioning, identical output). State partitioning is a
-    # job-level knob that should track key cardinality — tiny staged
-    # stream, tiny state fan-out.
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
+    # measured 2.6 s -> 1.1 s at reduced state partitioning, identical
+    # output (see _shuffle_partitions)
+    with _shuffle_partitions(spark, 8):
         q = (counts.writeStream.format("memory").queryName(name)
              .outputMode("complete").trigger(availableNow=True).start())
         q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return spark.table(name).select(
         "window_start", "event_type", F.col("n").cast("long").alias("n"))
 
@@ -1351,22 +1359,18 @@ def q_stream_dedup_urls(spark, sf_dir):
         F.col("text").cast("binary").alias("html"),
         F.col("text").alias("text"), F.col("lang").alias("lang"))
     name = "stream_dd_" + uuid.uuid4().hex[:8]
-    # fewer state stores per micro-batch (see q_stream_windowed_counts);
-    # for this applyInPandasWithState query the larger cost is COLD
+    # fewer state stores per micro-batch (see _shuffle_partitions); for
+    # this applyInPandasWithState query the larger cost is COLD
     # Python-worker spin-up (~12.5 s first run -> ~3.6 s warm, either
     # partitioning), which bench.py's warm pass absorbs. Keyed-state
     # sharding still runs across 8 partitions x 4 batches, so the
     # cross-batch path the oracle gates is untouched.
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
+    with _shuffle_partitions(spark, 8):
         q = (stateful_url_dedup(pages, mode="exact")
              .select("url")
              .writeStream.format("memory").queryName(name)
              .outputMode("append").trigger(availableNow=True).start())
         q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return spark.table(name).select("url")
 
 

@@ -605,6 +605,16 @@ def run_qbatch(qcorpus: str, index_dir: str) -> None:
     how the inline batches always measured it."""
     tempfile.tempdir = f"{SHM}/work/qb-{os.getpid()}"
     os.makedirs(tempfile.tempdir, exist_ok=True)
+    try:
+        _run_qbatch_inner(qcorpus, index_dir)
+    finally:
+        # a crash must not leave scratch in tmpfs: later scaling legs
+        # would run under the memory-reclaim pressure the per-leg sweep
+        # exists to prevent (measured 20-130% first-draw dilation)
+        shutil.rmtree(tempfile.tempdir, ignore_errors=True)
+
+
+def _run_qbatch_inner(qcorpus: str, index_dir: str) -> None:
     from mee_spark.build import build_full_index
     from mee_spark.config import IndexConfig
     from mee_spark.fixtures import gen_queries
@@ -634,7 +644,19 @@ def run_qbatch(qcorpus: str, index_dir: str) -> None:
             "sec_per_query": round(query_sec / 100, 4), "topk_rows": n_res}
     print("QBATCH " + json.dumps(rec))
     spark.stop()
-    shutil.rmtree(tempfile.tempdir, ignore_errors=True)
+
+
+def _sweep_failed_qbatch(index_dir: str) -> None:
+    """After a failed/killed qbatch child (whose own finally may never
+    run under SIGKILL), clear its tmpfs scratch AND any partial index:
+    a half-written gen with no _CURRENT would otherwise sit in tmpfs for
+    the rest of the run, and the next draw rebuilds from scratch anyway."""
+    import glob
+
+    for d in glob.glob(f"{SHM}/work/qb-*"):
+        shutil.rmtree(d, ignore_errors=True)
+    if not os.path.exists(os.path.join(index_dir, "_CURRENT")):
+        shutil.rmtree(index_dir, ignore_errors=True)
 
 
 def spawn_qbatch(qcorpus: str, index_dir: str) -> dict | None:
@@ -654,6 +676,7 @@ def spawn_qbatch(qcorpus: str, index_dir: str) -> dict | None:
     except subprocess.TimeoutExpired:
         print("[bench] qbatch timed out — draw dropped",
               file=sys.stderr, flush=True)
+    _sweep_failed_qbatch(index_dir)
     return None
 
 
@@ -935,6 +958,18 @@ def main() -> None:
         shutil.rmtree(f"{SHM}/work", ignore_errors=True)
         shutil.rmtree(f"{SHM}/sparktmp", ignore_errors=True)
         os.makedirs(f"{SHM}/work", exist_ok=True)
+        # one query-latency draw per early pair, BEFORE the pair's own
+        # quiet/canary gate: the gate evidence recorded for the pair must
+        # describe the window its LEGS run in, not a window 40-600 s
+        # stale behind a qbatch. The draw is its own JVM against the
+        # persisted QINDEX_DOCS index and ships its warmup as its own
+        # window reference.
+        if q_batches_left > 0:
+            qrec = spawn_qbatch(qcorpus, qindex_dir)
+            q_batches_left -= 1
+            if qrec is not None:
+                query_batches.append(qrec)
+                print(f"[bench]   qbatch: {qrec}", file=sys.stderr, flush=True)
         # gate the PAIR start on busy-share AND the box's parallel-capacity
         # ceiling; never wait between the levels of a pair. The gate's own
         # hw measurement is the pair's recorded ceiling (no double cost).
@@ -958,15 +993,6 @@ def main() -> None:
         print(f"[bench] pair {i + 1}/{len(plan)}: order {order} "
               f"(host busy {busy_now}, hw ceiling "
               f"{pair['hw_parallel_scaling']})", file=sys.stderr, flush=True)
-        # one query-latency draw per early pair, in this pair's
-        # canary-vouched window but in its OWN JVM against the persisted
-        # QINDEX_DOCS index — the scaling legs below stay pure builds
-        if q_batches_left > 0:
-            qrec = spawn_qbatch(qcorpus, qindex_dir)
-            q_batches_left -= 1
-            if qrec is not None:
-                query_batches.append(qrec)
-                print(f"[bench]   qbatch: {qrec}", file=sys.stderr, flush=True)
         pair["runs_n_all"] = []
         for cores in order:
             rec = spawn_level(cores, corpus, False)

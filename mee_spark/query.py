@@ -181,13 +181,16 @@ def more_like_this(
     is the Spark-native equivalent of the Lucene query it would run.
     """
     sd = F.broadcast(seeds.select("seed_id", F.col("doc_id").alias("_seed_doc")))
-    # all terms of the seed docs, with their in-seed tf
+    # all terms of the seed docs, with their in-seed tf — tiny; cached
+    # because it seeds both the tf-idf selection and the candidate set
     sterm = (postings.join(sd, postings["doc_id"] == sd["_seed_doc"])
-             .select("seed_id", "term", "tf"))
-    # df over the full corpus for candidate terms only (broadcast filter)
-    dfreq = (postings
-             .join(F.broadcast(sterm.select("term").distinct()), "term")
-             .groupBy("term").agg(F.count("*").alias("df")))
+             .select("seed_id", "term", "tf").cache())
+    # ONE corpus scan: postings filtered to the seed docs' vocabulary.
+    # df, term selection, and final scoring all derive from this cached
+    # relation instead of re-scanning postings three times.
+    cand = postings.join(
+        F.broadcast(sterm.select("term").distinct()), "term").cache()
+    dfreq = cand.groupBy("term").agg(F.count("*").alias("df"))
     tfidf = (sterm.join(F.broadcast(dfreq), "term")
              .withColumn("_tfidf", F.round(
                  F.col("tf").cast("double")
@@ -196,7 +199,9 @@ def more_like_this(
         F.desc("_tfidf"), F.asc("term"))
     qterms = (tfidf.withColumn("_r", F.row_number().over(wsel))
               .where(F.col("_r") <= m).select("seed_id", "term"))
-    matched = postings.join(F.broadcast(qterms), "term")
+    # qterms ⊆ cand's term set, so scoring reuses the cached candidate
+    # relation — no further postings scan
+    matched = cand.join(F.broadcast(qterms), "term")
     contrib = matched.join(F.broadcast(dfreq), "term").withColumn(
         "_c",
         idf_col(F.col("df").cast("double"), n_docs)
@@ -318,9 +323,12 @@ def bm25_topk_fuzzy(
     qterms = explode_query_terms(queries)  # (query_id, k, term)
     expanded = fuzzy_expand_terms(postings, qterms, max_dist)
     # feed the expanded set through the exhaustive scorer by rebuilding
-    # a queries-like relation: one row per (query_id, term) with k
+    # a queries-like relation: one row per (query_id, term) with k.
+    # matched is consumed twice (df pass + scoring pass) — cache it so
+    # the upstream postings chain runs once (same reason as the
+    # exhaustive path)
     matched = postings.join(
-        F.broadcast(expanded.select("term").distinct()), "term")
+        F.broadcast(expanded.select("term").distinct()), "term").cache()
     dfreq = matched.groupBy("term").agg(F.count("*").alias("df"))
     contrib = (
         matched
@@ -371,10 +379,15 @@ def bm25_search_after(
     any corpus; a live service would pass the cursor values from the
     previous page's last hit instead.
     """
+    # the full ranking feeds BOTH the cursor derivation and the page
+    # filter; pin it so the scoring aggregate + rank window run once
+    # (same double-consumption reason q_fulltext_topk_snippets pins its
+    # top-k relation)
     scored = bm25_topk_exhaustive(
         postings, queries.select("query_id", "query_text",
                                  F.lit(2**31 - 1).alias("k")),
-        n_docs, avgdl, k=None, k1=k1, b=b, round_digits=round_digits)
+        n_docs, avgdl, k=None, k1=k1, b=b,
+        round_digits=round_digits).localCheckpoint(eager=False)
     cursor = (scored.where(F.col("rank") == after_rank)
               .select("query_id", F.col("score").alias("_c_score"),
                       F.col("doc_id").alias("_c_doc")))
