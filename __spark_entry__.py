@@ -35,6 +35,17 @@ def _hash15(expr: str) -> str:
     return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
 
 
+def _knuth_u32_sql(col: str) -> str:
+    """DuckDB form of mee_spark.textops._knuth_u32 — the multiply is
+    split into 16-bit halves so no intermediate exceeds ~2^48: the naive
+    ``id * 2654435761`` overflows int64 past id ~3.46e9, where DuckDB
+    raises while non-ANSI Spark wraps. Value-identical to the naive
+    product mod 2^32 for all ids below the overflow point."""
+    u = f"({col}::BIGINT % 4294967296)"
+    return (f"(((({u} // 65536) * 2654435761) % 65536) * 65536"
+            f" + ({u} % 65536) * 2654435761) % 4294967296")
+
+
 # the reference query set for the flagship BM25 query (fixed, tiny)
 BM25_QUERIES = [
     (0, "spark query table", 10),
@@ -1704,7 +1715,7 @@ FROM t LEFT JOIN agg a USING (doc_id)
         "text_sample_stratified": f"""
 WITH d AS (SELECT doc_id::BIGINT AS doc_id, lang, source,
                   n_chars::BIGINT AS n_chars,
-                  (doc_id::BIGINT * 2654435761) % 4294967296 AS u
+                  {_knuth_u32_sql('doc_id')} AS u
            FROM documents)
 SELECT doc_id, lang, source, n_chars FROM d
 WHERE u < CASE lang WHEN 'en' THEN {int(0.9 * (1 << 32))}
@@ -1715,7 +1726,7 @@ WHERE u < CASE lang WHEN 'en' THEN {int(0.9 * (1 << 32))}
         "text_pack_sequences": f"""
 WITH d AS (SELECT doc_id::BIGINT AS doc_id,
                   len({_toks('text')})::BIGINT AS n_tokens,
-                  floor(((doc_id::BIGINT * 2654435761) % 4294967296) * 8
+                  floor(({_knuth_u32_sql('doc_id')}) * 8
                         / 4294967296)::BIGINT AS bucket
            FROM documents),
 c AS (SELECT doc_id, bucket, n_tokens,

@@ -192,10 +192,23 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     huff: dict[tuple[int, int], dict] = {}  # (class, id) -> decode table
     frame = None
     restart_interval = 0
-    while pos + 4 <= len(payload):
+    while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("bad JPEG marker alignment")
+        # spec-legal fill: any run of 0xFF bytes may pad before a marker
+        # (T.81 B.1.1.2) — skip them so the next byte is the marker code
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # TEM / RSTn are standalone (no length field); RSTn outside a
+            # scan is spec-illegal but harmless to step over
+            pos += 2
+            continue
+        if marker == 0xD9:  # EOI before any scan — also length-less
+            break
+        if pos + 4 > len(payload):
+            raise ValueError("truncated JPEG segment")
         (seglen,) = struct.unpack(">H", payload[pos + 2:pos + 4])
         seg = payload[pos + 4:pos + 2 + seglen]
         if pos + 2 + seglen > len(payload):
@@ -246,8 +259,6 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 scan[cid] = (tabs >> 4, tabs & 0x0F)
             return _decode_scan(payload, pos + 2 + seglen, frame, scan,
                                 quant, huff, restart_interval)
-        elif marker == 0xD9:  # EOI before any scan
-            break
         pos += 2 + seglen
     raise ValueError("JPEG has no scan data")
 

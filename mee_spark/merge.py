@@ -108,14 +108,20 @@ def maybe_compact(spark: SparkSession, index_dir: str, cfg: IndexConfig, *,
     if not decision["due"]:
         return None
     new_gen = (mf.current_gen(index_dir) or 0) + 1
-    m = compact(spark, index_dir, cfg, new_gen=new_gen)
-    m["metrics"]["policy"] = decision
-    return m
+    # the policy decision rides inside compact's metrics so it reaches
+    # the on-disk manifest audit trail, not just the returned dict
+    return compact(spark, index_dir, cfg, new_gen=new_gen,
+                   extra_metrics={"policy": decision})
 
 
 def compact(spark: SparkSession, index_dir: str, cfg: IndexConfig,
-            new_gen: int, publish: bool = True) -> dict:
-    """Rewrite the whole published chain as single generation ``new_gen``."""
+            new_gen: int, publish: bool = True,
+            extra_metrics: dict | None = None) -> dict:
+    """Rewrite the whole published chain as single generation ``new_gen``.
+
+    ``extra_metrics`` entries are merged into the manifest's metrics
+    BEFORE it is persisted (callers like ``maybe_compact`` record their
+    trigger decision in the audit trail this way)."""
     import time
 
     t0 = time.monotonic()
@@ -143,7 +149,8 @@ def compact(spark: SparkSession, index_dir: str, cfg: IndexConfig,
         index_dir, new_gen, parent=None,
         n_docs_live=tail["n_docs_live"], sum_dl_live=tail["sum_dl_live"],
         metrics={"kind": "compaction", "wall_sec": wall,
-                 "compacted_gens": gens, "partitions": part_metrics},
+                 "compacted_gens": gens, "partitions": part_metrics,
+                 **(extra_metrics or {})},
         lineage={"compacted_from": gens},
         extra={"config": layout_record(cfg)},
     )

@@ -608,7 +608,11 @@ def video_frame_sample(media: DataFrame, stride: int = 2,
                         "codec video (mp4/webm/...) needs external libs; "
                         "YUV4MPEG2 decodes natively")
                 mid_, w_, h_, dur_, _ = _parse_fake(payload)
-                n_frames = max(1, int(dur or dur_) // 40)  # ~25 fps
+                # a NULL duration_ms arrives in pandas as NaN, which is
+                # truthy — `dur or dur_` would pass NaN to int() and
+                # raise; fall back to the payload-parsed duration
+                dur_eff = dur_ if (dur is None or pd.isna(dur)) else dur
+                n_frames = max(1, int(dur_eff) // 40)  # ~25 fps
                 rng = np.random.default_rng(mid_ * 73 + 11)
                 lumas = rng.random(n_frames)
                 for i in range(0, n_frames, stride):

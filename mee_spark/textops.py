@@ -318,9 +318,23 @@ _U32 = 1 << 32
 
 
 def _knuth_u32(col: Column) -> Column:
-    """((id * 2654435761) mod 2^32) — a uniform deterministic u32 draw
-    per id, identical in any engine with 64-bit integer arithmetic."""
-    return F.pmod(col.cast("long") * F.lit(KNUTH_HASH), F.lit(_U32))
+    """((id mod 2^32) * 2654435761 mod 2^32) — a uniform deterministic
+    u32 draw per id, identical in any engine with 64-bit integer
+    arithmetic. The multiply is split into 16-bit halves so every
+    intermediate stays below ~2^48: a naive ``id * K`` overflows int64
+    once id exceeds ~3.46e9, where Spark (non-ANSI) wraps silently while
+    an ANSI engine raises — at 10^12-doc scale that silently diverges
+    the keep/bucket decisions between engines. For ids < 2^32 the split
+    form is value-identical to the naive product mod 2^32."""
+    u = F.pmod(col.cast("long"), F.lit(_U32))
+    hi = F.shiftrightunsigned(u, 16)  # <= 2^16-1
+    lo = F.pmod(u, F.lit(1 << 16))
+    # K*(hi*2^16 + lo) mod 2^32 == ((K*hi mod 2^16)*2^16 + K*lo) mod 2^32;
+    # max intermediate: (2^16-1)*K + (2^16-1)*2^16 < 2^48
+    return F.pmod(
+        F.pmod(hi * F.lit(KNUTH_HASH), F.lit(1 << 16)) * F.lit(1 << 16)
+        + lo * F.lit(KNUTH_HASH),
+        F.lit(_U32))
 
 
 def sample_hash_stratified(docs: DataFrame, rates: dict[str, float],

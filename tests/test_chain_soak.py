@@ -195,6 +195,11 @@ def test_auto_compaction_soak(spark, tmp_path_factory):
     assert fired_at == 4
     cur = mf.current_gen(d)
     assert len(mf.manifest_chain(d)) == 1  # compaction reset the chain
+    # the policy decision must reach the ON-DISK manifest audit trail,
+    # not just maybe_compact's return value (ADVICE r5)
+    on_disk = mf.manifest_chain(d)[0]
+    assert on_disk["metrics"]["policy"]["due"]
+    assert on_disk["metrics"]["policy"]["reasons"]
 
     full_dir = str(tmp_path_factory.mktemp("autocompact_full"))
     build_full_index(spark, _snapshot_df(spark, state), CFG, full_dir,

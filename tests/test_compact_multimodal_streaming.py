@@ -473,6 +473,37 @@ def test_jpeg_honest_failures_and_dispatch():
     assert img.std() > 10  # real content, not a flat fake
 
 
+def test_jpeg_fill_bytes_and_standalone_markers():
+    """Spec-legal 0xFF fill padding before a marker (T.81 B.1.1.2) and
+    standalone TEM (0x01) markers carry no length field — the pre-scan
+    walk must step over them instead of misparsing the next bytes as a
+    segment length (ADVICE r5). Externally produced baseline JPEGs use
+    both."""
+    import numpy as np
+
+    from mee_spark.jpeg import decode_jpeg, encode_jpeg
+
+    good = encode_jpeg(np.full((8, 8, 3), 77, dtype=np.uint8))
+    idx = good.find(b"\xFF\xDB")
+    assert idx > 0
+    padded = good[:idx] + b"\xFF\xFF" + b"\xFF\x01" + good[idx:]
+    assert (decode_jpeg(padded) == decode_jpeg(good)).all()
+
+
+def test_video_frame_sample_fake_null_duration(spark):
+    """A NULL duration_ms arrives in pandas as NaN (truthy!) — the fake
+    path must fall back to the payload-parsed duration instead of
+    raising on int(NaN) (ADVICE r5)."""
+    from mee_spark.multimodal import make_fake_payload, video_frame_sample
+
+    rows = [(1, "video", "x/video", make_fake_payload(1, "video", 0, 0, 2000),
+             None, None, None)]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = video_frame_sample(media, stride=10, fake=True).collect()
+    # 2000 ms / 40 ms per frame = 50 frames, stride 10 -> 5 samples
+    assert len(got) == 5 and all(r["frame_idx"] % 10 == 0 for r in got)
+
+
 # ------------------------------------------------------------- video (Y4M)
 
 def test_y4m_roundtrip_gray_exact():

@@ -119,6 +119,22 @@ def test_pack_bucket_is_knuth_hash(spark):
         assert r["bucket"] == (u * 8) >> 32  # HIGH bits, not u % 8
 
 
+def test_knuth_u32_no_int64_overflow(spark):
+    """The split-multiply form must equal ((id mod 2^32) * K) mod 2^32
+    for ids ABOVE the naive int64 overflow point (~3.46e9): a 10^12-doc
+    corpus has doc_ids past 2^40, where naive id*K wraps silently in
+    Spark and raises in ANSI engines (ADVICE r5)."""
+    from mee_spark.textops import _knuth_u32
+
+    ids = [0, 1, 499, 65536, 2**31, 2**32 - 1, 2**32 + 7,
+           2**40 + 123, 2**62]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {r["doc_id"]: r["u"] for r in
+           df.select("doc_id", _knuth_u32(F.col("doc_id")).alias("u")).collect()}
+    for i in ids:
+        assert got[i] == ((i % (1 << 32)) * KNUTH_HASH) % (1 << 32), i
+
+
 # ---------------------------------------------------------------- vocab
 
 def test_vocab_topk_rank_and_tiebreak(spark):

@@ -60,6 +60,22 @@ def test_column_pruning_in_scan(spark):
     assert "n_chars" not in read_schema and "source" not in read_schema
 
 
+def test_query_paths_leave_no_cache_entries(spark):
+    """The pinned intermediates in the exhaustive/MLT/fuzzy/search_after
+    paths must use GC-released localCheckpoint, never bare .cache():
+    CacheManager entries persist until an explicit unpersist, so a
+    long-lived query service would accumulate executor storage with
+    every call (VERDICT r5 #4). The WAND path's cache is exempt — it
+    unpersists in a finally, which this assertion also verifies."""
+    spark.catalog.clearCache()
+    for name in ("fulltext_bm25_topk", "fulltext_fuzzy",
+                 "fulltext_more_like_this", "fulltext_search_after",
+                 "fulltext_bm25_wand"):
+        em.queries()[name](spark, SF_DIR).count()
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty(), (
+        "query path left entries in the CacheManager")
+
+
 def test_segment_scan_prunes_term_and_bucket(spark, tmp_path):
     """The WAND read path must push both the bucket (partition column)
     and term predicates into the segment scan."""
