@@ -20,15 +20,20 @@ Scaling protocol (hard-won; see BENCH/BASELINE.md):
     local[8] sample against a quiet local[2] best -> a 0.225 artifact on
     an engine whose clean pair measures >0.9.
   * pair order ALTERNATES so slow load drift within windows biases half
-    the pairs each way instead of all one way; the short (~45 s) 4N
-    build runs THREE times per window and the fastest run is used
-    (one-sided burst/scheduling-noise rejection: round-5 measured
+    the pairs each way instead of all one way; the short (~26 s at the
+    300k corpus) 4N build runs TWICE per window and the fastest run is
+    used (one-sided burst/scheduling-noise rejection: round-5 measured
     in-window 4N draw sets [95.9, 51.5] and [112.7, 43.7] s — the draw
-    count is fixed up front, all runs ship in the JSON). The N leg gets
-    ONE conservative retry when its build exceeds 1.25x the session's
-    best N build: a burst-dilated N leg spuriously INFLATES the ratio,
-    so replacing it with a faster in-window retry can only lower the
-    headline, never raise it;
+    count is fixed up front, all runs ship in the JSON). Round 6 cut
+    best-of-three back to best-of-two as per-pair cost discipline: the
+    round-5 official run finished only 2 of 5 planned pairs inside the
+    driver budget (the gate needs SAMPLES more than it needs a deeper
+    per-window floor — a 3rd draw buys ~1 extra clean-floor chance per
+    window while costing ~50-90 s that compounds with gate waits).
+    The N leg gets ONE conservative retry when its build exceeds 1.25x
+    the session's best N build: a burst-dilated N leg spuriously
+    INFLATES the ratio, so replacing it with a faster in-window retry
+    can only lower the headline, never raise it;
   * each pair also records the host's own capability for its window: a
     single-thread canary (in-place numpy, min-of-3 — detects per-core
     dilation) and hw_parallel_scaling, the (thr_16proc/thr_4proc)/4
@@ -144,19 +149,22 @@ SCALING_4N = 4 * SCALING_N
 # fixed, outcome-independent schedule of ADJACENT same-window pairs;
 # order alternates so in-window load drift biases half the pairs each way
 N_PAIRS = int(os.environ.get("MEE_BENCH_PAIRS", "5"))
-# each pair runs the 4N level THREE times inside the window (round 5;
-# two in rounds 3-4): the 4N build is short (~45 s) and suffers
-# one-sided scheduling/burst tails — the round-5 validation run measured
+# each pair runs the 4N level TWICE inside the window (best-of-two;
+# round 5 ran three, rounds 3-4 two): the 4N build is short (~26 s at
+# 300k) and suffers one-sided scheduling/burst tails — round-5 measured
 # in-window 4N draws of [95.9, 51.5] and [112.7, 43.7] (first draw hit a
-# burst, second clean), and a 40-minute afternoon produced t8 samples
-# spanning 43.7-112.7 s with FLAT 21-24 s warmups. The fastest in-window
-# run is the window's capability; min-of-3 samples that floor better
-# than min-of-2, the draw count is FIXED up front (never conditional on
-# the values seen), and every run ships in the JSON. Order alternates so
+# burst, second clean). The fastest in-window run is the window's
+# capability; the draw count is FIXED up front (never conditional on the
+# values seen) and every run ships in the JSON. Round 6 returned to two
+# draws for per-pair cost (VERDICT r5 #1): the official r5 run starved
+# itself to 2 of 5 pairs and ZERO capable-window samples — more pairs
+# beat deeper per-window floors. Extension pairs (host-conditioned, see
+# main) use the IDENTICAL shape, closing the round-5 advice item about
+# extension pairs carrying a different draw count. Order alternates so
 # drift biases half the pairs each way.
 PAIR_PLAN = [
-    [SCALING_N, SCALING_4N, SCALING_4N, SCALING_4N] if i % 2 == 0
-    else [SCALING_4N, SCALING_4N, SCALING_4N, SCALING_N]
+    [SCALING_N, SCALING_4N, SCALING_4N] if i % 2 == 0
+    else [SCALING_4N, SCALING_4N, SCALING_N]
     for i in range(N_PAIRS)
 ]
 PARTITIONS = 4 * CPUS
@@ -182,6 +190,8 @@ TIMED_QUERIES = [
     # round-5 training-mix ops (sampling/packing/vocab/dup-coverage)
     "text_sample_stratified", "text_pack_sequences", "text_vocab_topk",
     "dedup_coverage",
+    # round-6 media decode (REAL PPM/PNG/WAV/Y4M codecs over mapInPandas)
+    "media_pixel_stats", "media_audio_rms", "media_video_luma",
 ]
 # the untimed steady-state pass covers every query whose cold cost is
 # warmable overhead rather than unique work. The lifecycle pair builds
@@ -527,6 +537,32 @@ def spark_canary_gate(max_wait_sec: float) -> dict:
         time.sleep(8)
 
 
+def canary_gate_from_warmup(wu_sec: float | None) -> dict | None:
+    """Round-6 per-pair cost discipline (VERDICT r5 #1): when a qbatch
+    draw just ran in this window, its warmup IS a Spark canary — the
+    same 50k corpus built at the same 4N level as the first build in a
+    fresh JVM — so a separate canary subprocess would re-measure the
+    same quantity for another ~25-40 s. Reuse it as the pair's gate
+    evidence when it PASSES the same absolute-anchored ratio test; on
+    failure return None and fall through to the real (waiting) gate,
+    which can still shift the pair's start toward a cleaner window.
+    The record is labeled with its source so the artifact stays legible."""
+    if wu_sec is None:
+        return None
+    _SPARK_CANARY_BEST[0] = min(_SPARK_CANARY_BEST[0], wu_sec)
+    ref = _SPARK_CANARY_BEST[0]
+    if CANARY_ABS_SEC > 0:
+        ref = min(ref, CANARY_ABS_SEC)
+    if wu_sec > CANARY_RATIO * ref:
+        return None
+    return {"spark_canary_sec": round(wu_sec, 2),
+            "spark_canary_attempts": [round(wu_sec, 2)],
+            "spark_canary_ref_sec": round(ref, 2),
+            "spark_canary_ok": True,
+            "spark_canary_wait_sec": 0.0,
+            "spark_canary_source": "qbatch_warmup"}
+
+
 # ---------------------------------------------------------------- level mode
 
 def run_level(cores: int, corpus: str, n_docs: int, with_queries: bool) -> None:
@@ -725,37 +761,53 @@ def spawn_level(cores: int, corpus: str, with_queries: bool) -> dict:
 
 # ------------------------------------------------------------------ main
 
-def budget_cut_decision(elapsed: float, pairs_done: int,
-                        budget: float) -> tuple[bool, float, float]:
+def budget_cut_decision(elapsed: float, pair_secs: list[float],
+                        budget: float,
+                        next_extra: float = 0.0) -> tuple[bool, float, float]:
     """Whole-pair budget arithmetic, isolated so it is unit-testable.
 
+    ``pair_secs`` holds each completed pair's own wall duration (gates +
+    legs + end probes), EXCLUDING the query-batch draws that run between
+    pairs; ``next_extra`` is the expected cost of any qbatch draw still
+    scheduled before the next pair. Round 6 split these out because the
+    round-5 projection averaged the whole elapsed time per pair — the
+    first pair's ~600 s (dilated 600k qindex build + expired canary
+    waits) inflated the projected cost of every later pair and cut the
+    plan at 2 of 5 (VERDICT r5 #1).
+
     Returns (cut, avg_pair_sec, projected_sec): cut is True when starting
-    one more pair — projected at the measured average pair duration —
-    would overrun the budget. With zero completed pairs there is nothing
-    to project from, so the first pair always runs (the plan is fixed up
-    front; a budget too small for even one pair is a configuration error
-    we surface by running it anyway and overrunning visibly)."""
-    if pairs_done == 0:
+    one more pair — projected at the measured average PAIR duration plus
+    ``next_extra`` — would overrun the budget. With zero completed pairs
+    there is nothing to project from, so the first pair always runs (the
+    plan is fixed up front; a budget too small for even one pair is a
+    configuration error we surface by running it anyway and overrunning
+    visibly)."""
+    if not pair_secs:
         return False, 0.0, elapsed
-    avg = elapsed / pairs_done
-    return elapsed + avg > budget, avg, elapsed + avg
+    avg = sum(pair_secs) / len(pair_secs)
+    projected = elapsed + avg + next_extra
+    return projected > budget, avg, projected
 
 
-def time_queries(spark) -> tuple[dict[str, float], float]:
+def time_queries(spark) -> tuple[dict[str, float], float, dict[str, float]]:
     """One untimed steady-state pass over the repeatable queries, then the
     timed pass. Same philosophy as the build phase's 50k-doc warmup: the
     number a 100-TB operator cares about is steady-state latency, and the
     cold pass conflates it with one-time JVM/Catalyst/Arrow-worker spin-up
     (round-4's official draw recorded dedup_minhash_lsh at 36.99 s — 5.7x
     the 6.5 s the same query measures warm). The warm pass's wall time
-    ships in the artifact (query_warmup_pass_sec), so the cold-start cost
-    stays visible rather than hidden."""
+    ships in the artifact (query_warmup_pass_sec) and its PER-QUERY
+    first-run timings go to the detail artifact (queries_cold_first_run,
+    VERDICT r5 #7), so cold-start attribution survives without re-running."""
     import __spark_entry__ as em
 
     qs = em.queries()
     t0 = time.monotonic()
+    cold = {}
     for name in WARM_PASS_QUERIES:
+        q0 = time.monotonic()
         qs[name](spark, SF_DIR).count()
+        cold[name] = round(time.monotonic() - q0, 2)
     warm_sec = round(time.monotonic() - t0, 2)
     print(f"[bench] untimed warm pass: {warm_sec}s", file=sys.stderr, flush=True)
     out = {}
@@ -764,7 +816,7 @@ def time_queries(spark) -> tuple[dict[str, float], float]:
         qs[name](spark, SF_DIR).count()
         out[name] = round(time.monotonic() - t0, 2)
         print(f"[bench] {name}: {out[name]}s", file=sys.stderr, flush=True)
-    return out, warm_sec
+    return out, warm_sec, cold
 
 
 def _wu_refs(pairs: list[dict]) -> dict[int, float]:
@@ -834,6 +886,25 @@ def pair_capable(p: dict, wu_refs: dict[int, float], hw_gate: float) -> bool:
     return True
 
 
+def quiet_truth_ratio(pairs: list[dict]) -> float | None:
+    """The session's cleanest cross-window measurement (VERDICT r5 #5):
+    (best N build sec / best 4N build sec) / 4 over every leg run this
+    session, retries included. This is NOT the gated metric — it pairs
+    the fastest N window with the fastest 4N window, which the same-
+    window pair discipline exists to avoid — but it is the number the
+    validation campaigns kept demonstrating (0.87-0.93) while burst
+    weather starved the official medians, so it ships as a NAMED
+    disclosed field instead of living only in BASELINE.md prose. Both
+    minima use the same fixed corpus, so the ratio is well-defined."""
+    t8 = min((r["build_sec"] for p in pairs
+              for r in p.get("runs_4n_all", [])), default=None)
+    t2 = min((r["build_sec"] for p in pairs
+              for r in p.get("runs_n_all", [])), default=None)
+    if not t8 or not t2:
+        return None
+    return round((t2 / t8) / 4.0, 3)
+
+
 def main() -> None:
     if len(sys.argv) >= 3 and sys.argv[1] == "--level":
         run_level(int(sys.argv[2]), sys.argv[3], BENCH_DOCS,
@@ -884,14 +955,13 @@ def main() -> None:
     # the query phase gets the Spark canary gate too (VERDICT r4 #2): the
     # dilation mode is invisible to the numpy probes, and a dilated window
     # turns per-query timings into noise (round-4: ann_bruteforce 0.89 s ->
-    # 9.9 s across two runs with zero code change)
-    # 150 -> 300 s in round 5: the 300k pair plan leaves ~1200 s of
-    # budget headroom, and shifting starts toward canary-clean windows
-    # is the one honest lever against burst weather (every planned pair
-    # still runs; an expired gate only marks the pair not-capable)
-    canary_wait = float(os.environ.get("MEE_BENCH_CANARY_WAIT", "300"))
-    q_gate = spark_canary_gate(canary_wait)
-    queries_sec, query_warmup_pass_sec = time_queries(spark)
+    # 9.9 s across two runs with zero code change). Round 6 split this
+    # wait from the PAIR gate's: the query phase runs once, so a longer
+    # shift toward a clean window is cheap here — while the same 300 s
+    # per PAIR was a round-5 budget killer (see the pair loop)
+    q_gate = spark_canary_gate(
+        float(os.environ.get("MEE_BENCH_CANARY_WAIT_QUERY", "240")))
+    queries_sec, query_warmup_pass_sec, queries_cold = time_queries(spark)
     q_load_end = loadavg()
     spark.stop()
 
@@ -901,13 +971,25 @@ def main() -> None:
     # short, ONLY at whole-pair boundaries, and every dropped pair is
     # logged and counted.
     bench_t0 = time.monotonic()
-    # sized for 5 pairs of [N, 4Nx3] (~330 s each at the 300k corpus
-    # incl. the canary gate, plus ~40-85 s of qbatch in the first three
+    # sized for 5 pairs of [N, 4Nx2] (~290 s each quiet at the 300k
+    # corpus incl. gates, plus ~40-200 s of qbatch in the first two
     # windows) with room for host-conditioned extension pairs
     # (historical sizing note: ~540 s/pair at the old 600k corpus)
     budget = float(os.environ.get("MEE_BENCH_BUDGET_SEC", "3000"))
     quiet_busy = float(os.environ.get("MEE_BENCH_QUIET_BUSY", "0.15"))
     quiet_wait = float(os.environ.get("MEE_BENCH_QUIET_WAIT", "240"))
+    # round-6 per-pair cost discipline (VERDICT r5 #1): the round-5
+    # official run spent up to 300 s of canary wait PER PAIR in taxed
+    # weather (canaries 33-38 s vs ref 26.4 s -> every gate expired its
+    # full wait) and finished 2 of 5 pairs. The per-pair wait drops to
+    # 90 s and a SESSION cap bounds the total; on cap exhaustion each
+    # gate still takes its one attempt (the evidence column never goes
+    # missing, only the retry loop is forfeited).
+    canary_wait = float(os.environ.get("MEE_BENCH_CANARY_WAIT", "90"))
+    canary_wait_total = float(os.environ.get("MEE_BENCH_CANARY_WAIT_TOTAL", "360"))
+    canary_wait_spent = 0.0
+    pair_secs: list[float] = []   # per-pair wall cost, EXCLUDING qbatch
+    qbatch_secs: list[float] = []
     pairs: list[dict] = []
     dropped_pairs = 0
     # latency draws left to spend: one dedicated qbatch JVM runs in the
@@ -916,8 +998,10 @@ def main() -> None:
     # window it lands in (0.574/0.252/0.188 s/query across the three
     # draws of validation run 2 with zero plan change); spreading draws
     # across windows makes the metric a capability measurement,
-    # consistent with the build side's best-of legs
-    q_batches_left = int(os.environ.get("MEE_BENCH_QUERY_BATCH_PAIRS", "3"))
+    # consistent with the build side's best-of legs. 3 -> 2 draws in
+    # round 6: same budget discipline as the leg count — the first draw
+    # pays the qindex build, so two draws still span two windows.
+    q_batches_left = int(os.environ.get("MEE_BENCH_QUERY_BATCH_PAIRS", "2"))
     query_batches: list[dict] = []
     hw_gate_thr = float(os.environ.get("MEE_BENCH_QUIET_HW", "0.92"))
     # the base plan is fixed up front; up to MEE_BENCH_EXTRA_PAIRS more
@@ -935,7 +1019,10 @@ def main() -> None:
     while i < len(plan):
         order = plan[i]
         elapsed = time.monotonic() - bench_t0
-        cut, avg_pair, projected = budget_cut_decision(elapsed, len(pairs), budget)
+        next_extra = (sum(qbatch_secs) / len(qbatch_secs)
+                      if (q_batches_left > 0 and qbatch_secs) else 0.0)
+        cut, avg_pair, projected = budget_cut_decision(
+            elapsed, pair_secs, budget, next_extra)
         if pairs:
             # projected-vs-actual log so a future corpus bump can't
             # silently halve the sample count: the cut math is visible
@@ -964,19 +1051,38 @@ def main() -> None:
         # stale behind a qbatch. The draw is its own JVM against the
         # persisted QINDEX_DOCS index and ships its warmup as its own
         # window reference.
+        gate = None
         if q_batches_left > 0:
+            qb_t0 = time.monotonic()
             qrec = spawn_qbatch(qcorpus, qindex_dir)
+            qbatch_secs.append(time.monotonic() - qb_t0)
             q_batches_left -= 1
             if qrec is not None:
                 query_batches.append(qrec)
                 print(f"[bench]   qbatch: {qrec}", file=sys.stderr, flush=True)
+                # the draw's warmup is canary-shaped and seconds old —
+                # reuse it as the pair gate when it passes (round 6)
+                gate = canary_gate_from_warmup(qrec.get("warmup_sec"))
+                if gate is not None:
+                    print("[bench]   qbatch warmup doubles as pair canary "
+                          f"({gate['spark_canary_sec']}s)",
+                          file=sys.stderr, flush=True)
         # gate the PAIR start on busy-share AND the box's parallel-capacity
         # ceiling; never wait between the levels of a pair. The gate's own
         # hw measurement is the pair's recorded ceiling (no double cost).
+        pair_t0 = time.monotonic()
         busy_now, hw_now = wait_for_quiet(
             threshold=quiet_busy, max_wait_sec=quiet_wait,
             min_hw_scaling=hw_gate_thr)
-        gate = spark_canary_gate(canary_wait)
+        if gate is not None and time.monotonic() - pair_t0 > 45:
+            # the quiet gate held us long enough that the reused canary
+            # no longer describes this window — take a fresh one
+            gate = None
+        if gate is None:
+            this_wait = min(canary_wait,
+                            max(0.0, canary_wait_total - canary_wait_spent))
+            gate = spark_canary_gate(this_wait)
+            canary_wait_spent += gate.get("spark_canary_wait_sec", 0.0)
         pair: dict = gate | {
             "order": list(order), "host_busy_at_start": busy_now,
                       "canary_ms_at_start": canary_ms(),
@@ -1051,8 +1157,10 @@ def main() -> None:
         pair["efficiency_hw_normalized"] = round(
             min(1.0, pair["efficiency"] / hw), 3) if hw and hw > 0 else None
         pairs.append(pair)
+        pair_secs.append(time.monotonic() - pair_t0)
         print(f"[bench] pair {i + 1} efficiency: {pair['efficiency']} "
-              f"(hw-normalized {pair['efficiency_hw_normalized']})",
+              f"(hw-normalized {pair['efficiency_hw_normalized']}, "
+              f"pair wall {pair_secs[-1]:.0f}s)",
               file=sys.stderr, flush=True)
         i += 1
         if i == len(plan) and extra_left > 0:
@@ -1060,6 +1168,9 @@ def main() -> None:
             n_cap = sum(1 for p in pairs
                         if pair_capable(p, refs_now, hw_gate_thr))
             if n_cap < min_capable:
+                # extension pairs use the IDENTICAL leg shape as the base
+                # plan (alternating order) — ADVICE r5: a reduced draw
+                # count gave extensions a more burst-exposed 4N floor
                 plan.append([SCALING_N, SCALING_4N, SCALING_4N]
                             if len(plan) % 2 == 0
                             else [SCALING_4N, SCALING_4N, SCALING_N])
@@ -1123,6 +1234,9 @@ def main() -> None:
         # per-pair efficiency_symmetric has always shipped in detail pairs
         "scaling_efficiency_capable_windows": round(_median(capable), 3) if capable else None,
         "n_capable_pairs": len(capable),
+        # cleanest cross-window ratio this session (disclosed secondary —
+        # see quiet_truth_ratio's docstring; never the primary)
+        "quiet_truth_ratio": quiet_truth_ratio(pairs),
         "pair_efficiencies": effs,
         "dropped_pairs": dropped_pairs,
         # per-pair best 4N warmup seconds — the in-run Spark-shaped
@@ -1132,14 +1246,6 @@ def main() -> None:
         # dilation straight from the headline.
         "t8_warmup_sec_per_pair": [round(w, 1) if w is not None else None
                                    for w in pair_wu],
-        # per-pair Spark canary (round-5 gate): fixed 50k-doc build in a
-        # short-lived JVM before each pair — the only probe that sees the
-        # host's Spark-only dilation mode; ok = within CANARY_RATIO of
-        # the absolute-anchored reference when the pair started
-        "spark_canary_sec_per_pair": [
-            round(p["spark_canary_sec"], 1)
-            if p.get("spark_canary_sec") is not None else None
-            for p in pairs],
         "query_warmup_pass_sec": query_warmup_pass_sec,
         "spark_canary_query_phase_sec": q_gate.get("spark_canary_sec"),
         # headline-budget trims: the query-phase host busy share and the
@@ -1148,6 +1254,21 @@ def main() -> None:
     }
     detail = headline | {
         "query_batches": query_batches,
+        # per-pair Spark canary (the round-5 gate; the only probe that
+        # sees the host's Spark-only dilation mode). Moved from the
+        # headline to the detail artifact in round 6 for headline char
+        # budget — each pair's full gate record (attempts, ref, source,
+        # wait) has always shipped in scaling.pairs below anyway.
+        "spark_canary_sec_per_pair": [
+            round(p["spark_canary_sec"], 1)
+            if p.get("spark_canary_sec") is not None else None
+            for p in pairs],
+        # first-run (cold) per-query seconds from the warm pass — the
+        # cold-vs-warm delta per query without a second run (r5 #7)
+        "queries_cold_first_run": queries_cold,
+        "pair_wall_secs": [round(s, 1) for s in pair_secs],
+        "qbatch_wall_secs": [round(s, 1) for s in qbatch_secs],
+        "canary_wait_spent_sec": round(canary_wait_spent, 1),
         "scaling_efficiency_symmetric": (round(_median(sym_effs), 3)
                                          if sym_effs else None),
         "detail": "BENCH/last_run_full.json",

@@ -33,17 +33,16 @@ def _representative_headline() -> dict:
         "qindex_docs": 600000,
         "index_build_docs_per_sec": 14714.6,
         "sec_per_query": 0.1234,
-        "sec_per_query_all": [0.1234, 0.2345, 0.1456],
+        "sec_per_query_all": [0.1234, 0.2345],
         "scaling_efficiency": 0.875,
         "scaling_efficiency_capable_windows": 0.944,
         "n_capable_pairs": 3,
+        "quiet_truth_ratio": 0.923,
         "pair_efficiencies": [0.918, 0.733, 0.823, 0.875, 0.911,
                               0.844, 0.902, 0.888, 0.879],
         "dropped_pairs": 0,
         "t8_warmup_sec_per_pair": [21.8, 23.4, 34.7, 30.2, 21.3,
                                    22.1, 20.9, 23.8, 24.6],
-        "spark_canary_sec_per_pair": [21.8, 23.4, 34.7, 30.2, 21.3,
-                                      22.1, 20.9, 23.8, 24.6],
         "query_warmup_pass_sec": 123.45,
         "spark_canary_query_phase_sec": 21.84,
     }
@@ -64,27 +63,67 @@ def test_headline_round_trips_key_fields():
 
 
 def test_budget_first_pair_always_runs():
-    cut, avg, projected = bench.budget_cut_decision(0.0, 0, 2700.0)
+    cut, avg, projected = bench.budget_cut_decision(0.0, [], 2700.0)
     assert not cut and avg == 0.0
     # even with an absurdly small budget the first pair runs (fixed plan)
-    cut, _, _ = bench.budget_cut_decision(0.0, 0, 1.0)
+    cut, _, _ = bench.budget_cut_decision(0.0, [], 1.0)
     assert not cut
 
 
 def test_budget_cut_fires_on_projection():
-    # 3 pairs done in 1800s -> avg 600s; projecting a 4th (2400s) fits a
-    # 2700 budget, a 5th would not be reached by this call shape
-    cut, avg, projected = bench.budget_cut_decision(1800.0, 3, 2700.0)
+    # 3 pairs of 600s each; projecting a 4th (2400s) fits a 2700 budget
+    cut, avg, projected = bench.budget_cut_decision(1800.0, [600.0] * 3, 2700.0)
     assert not cut and avg == 600.0 and projected == 2400.0
-    # 4 pairs done in 2400s -> avg 600s; a 5th projects to 3000 > 2700
-    cut, avg, projected = bench.budget_cut_decision(2400.0, 4, 2700.0)
+    # 4 pairs of 600s; a 5th projects to 3000 > 2700
+    cut, avg, projected = bench.budget_cut_decision(2400.0, [600.0] * 4, 2700.0)
     assert cut and projected == 3000.0
 
 
 def test_budget_cut_boundary_exact_fit():
     # projection exactly equal to budget is NOT a cut (<= fits)
-    cut, _, projected = bench.budget_cut_decision(2160.0, 4, 2700.0)
+    cut, _, projected = bench.budget_cut_decision(2160.0, [540.0] * 4, 2700.0)
     assert projected == 2700.0 and not cut
+
+
+def test_budget_projection_excludes_qbatch_cost():
+    """Round-6 regression guard for the r5 failure mode: the projection
+    must average PAIR-ONLY durations — a first window that spent ~600 s
+    on the qindex build + expired canary waits must not inflate the
+    projected cost of every later pair. Elapsed 1000 s of which only
+    350 s was the pair itself: a second pair projects at 1350, not 2000."""
+    cut, avg, projected = bench.budget_cut_decision(1000.0, [350.0], 3000.0)
+    assert not cut and avg == 350.0 and projected == 1350.0
+    # with a qbatch still scheduled, its expected cost IS projected
+    cut, _, projected = bench.budget_cut_decision(
+        1000.0, [350.0], 3000.0, next_extra=200.0)
+    assert projected == 1550.0 and not cut
+
+
+def test_quiet_truth_ratio():
+    pairs = [
+        {"runs_4n_all": [{"build_sec": 29.5}, {"build_sec": 26.3}],
+         "runs_n_all": [{"build_sec": 101.0}]},
+        {"runs_4n_all": [{"build_sec": 95.9}],
+         "runs_n_all": [{"build_sec": 97.5}, {"build_sec": 120.0}]},
+    ]
+    # best t2 97.5 / best t8 26.3 / 4 = 0.927
+    assert bench.quiet_truth_ratio(pairs) == 0.927
+    assert bench.quiet_truth_ratio([]) is None
+    assert bench.quiet_truth_ratio([{"runs_4n_all": [], "runs_n_all": []}]) is None
+
+
+def test_canary_gate_from_warmup():
+    """A passing qbatch warmup doubles as the pair's canary; a failing
+    one returns None so the real (waiting) gate runs."""
+    bench._SPARK_CANARY_BEST[0] = float("inf")
+    g = bench.canary_gate_from_warmup(21.4)
+    assert g is not None and g["spark_canary_ok"]
+    assert g["spark_canary_source"] == "qbatch_warmup"
+    assert g["spark_canary_sec"] == 21.4 and g["spark_canary_wait_sec"] == 0.0
+    # dilated warmup (vs the 22s absolute anchor * 1.2 ratio) -> no reuse
+    assert bench.canary_gate_from_warmup(40.0) is None
+    assert bench.canary_gate_from_warmup(None) is None
+    bench._SPARK_CANARY_BEST[0] = float("inf")
 
 
 # ----------------------------------------------------- capable-window filter
