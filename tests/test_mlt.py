@@ -103,6 +103,49 @@ def test_fuzzy_expands_within_distance_one_only(spark):
     assert {r.term for r in out.collect()} == {"spark", "spa"}
 
 
+def test_fuzzy_symspell_equals_scan_expansion(spark):
+    """The deletion-key join must return EXACTLY the dictionary-scan
+    expansion (it is the scale path bm25_topk_fuzzy actually uses):
+    substitutions, inserts, deletes, same-term hits, and distance-2
+    near-misses that collide in the delete-key space but must be pruned
+    by the verify."""
+    from mee_spark.query import fuzzy_expand_terms, fuzzy_expand_terms_symspell
+
+    docs = _docs(spark, [
+        (1, "spark sparks spa table stark shark spork park s a ab")])
+    p = build_postings(docs)
+    qt = spark.createDataFrame(
+        [(0, 10, "spak"), (1, 5, "spark"), (2, 5, "b"), (3, 5, "zzz")],
+        "query_id int, k int, term string")
+    want = sorted((r.query_id, r.k, r.term)
+                  for r in fuzzy_expand_terms(p, qt, 1).collect())
+    got = sorted((r.query_id, r.k, r.term)
+                 for r in fuzzy_expand_terms_symspell(p, qt, 1).collect())
+    assert got == want and want  # non-vacuous
+    # "stark"/"shark" are distance 2 from "spak": delete-key collisions
+    # ("sak"? no — "sark" via st→s vs sp→s) must not leak through
+    assert ("0", "stark") not in {(str(q), t) for q, _, t in got}
+
+
+def test_fuzzy_symspell_plan_has_no_nested_loop(spark):
+    """The symspell path must be a hash join on delete keys — the scan
+    form's BroadcastNestedLoopJoin (every dict term x every query term)
+    is exactly what it exists to replace."""
+    from mee_spark.query import fuzzy_expand_terms, fuzzy_expand_terms_symspell
+
+    docs = _docs(spark, [(1, "alpha beta gamma delta")])
+    p = build_postings(docs)
+    qt = spark.createDataFrame(
+        [(0, 10, "alpa")], "query_id int, k int, term string")
+    sym_plan = (fuzzy_expand_terms_symspell(p, qt, 1)
+                ._jdf.queryExecution().executedPlan().toString())
+    scan_plan = (fuzzy_expand_terms(p, qt, 1)
+                 ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastNestedLoopJoin" not in sym_plan
+    assert "BroadcastHashJoin" in sym_plan
+    assert "BroadcastNestedLoopJoin" in scan_plan  # the contrast is real
+
+
 def test_fuzzy_oov_query_matches_nothing(spark):
     from mee_spark.query import bm25_topk_fuzzy
 
