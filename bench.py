@@ -789,6 +789,29 @@ def budget_cut_decision(elapsed: float, pair_secs: list[float],
     return projected > budget, avg, projected
 
 
+def plan_step_decision(elapsed: float, pair_secs: list[float], budget: float,
+                       qbatch_est: float, q_batches_left: int
+                       ) -> tuple[bool, bool, float, float]:
+    """Budget decision for one plan step, with the round-6 priority rule:
+    scaling PAIRS outrank extra latency draws. When the projection fits
+    without the scheduled qbatch draw but not with it, the draw is
+    skipped (logged, counted) and the pair runs — the scaling gate is
+    the metric under test; extra latency draws are a secondary's noise
+    reduction. Observed need: the round-6 validation run's severe-weather
+    window priced a pair at 1173 s and the pending draw at ~300 s; the
+    draw's cost cut 4 of 5 pairs while 1300 s of budget went unused.
+
+    Returns (cut, skip_qbatch, avg_pair_sec, projected_sec)."""
+    next_extra = qbatch_est if q_batches_left > 0 else 0.0
+    cut, avg, projected = budget_cut_decision(elapsed, pair_secs, budget,
+                                              next_extra)
+    if cut and next_extra > 0:
+        cut2, avg2, proj2 = budget_cut_decision(elapsed, pair_secs, budget)
+        if not cut2:
+            return False, True, avg2, proj2
+    return cut, False, avg, projected
+
+
 def time_queries(spark) -> tuple[dict[str, float], float, dict[str, float]]:
     """One untimed steady-state pass over the repeatable queries, then the
     timed pass. Same philosophy as the build phase's 50k-doc warmup: the
@@ -990,6 +1013,12 @@ def main() -> None:
     canary_wait_spent = 0.0
     pair_secs: list[float] = []   # per-pair wall cost, EXCLUDING qbatch
     qbatch_secs: list[float] = []
+    # projection estimate for a FUTURE draw: wall cost minus the one-time
+    # qindex build the first draw pays (round-6 validation: charging the
+    # next pair with a 495 s mean that was half qindex build cut 4 of 5
+    # pairs in a window whose remaining budget fit them)
+    qbatch_est_secs: list[float] = []
+    skipped_qbatches = 0
     pairs: list[dict] = []
     dropped_pairs = 0
     # latency draws left to spend: one dedicated qbatch JVM runs in the
@@ -1019,10 +1048,17 @@ def main() -> None:
     while i < len(plan):
         order = plan[i]
         elapsed = time.monotonic() - bench_t0
-        next_extra = (sum(qbatch_secs) / len(qbatch_secs)
-                      if (q_batches_left > 0 and qbatch_secs) else 0.0)
-        cut, avg_pair, projected = budget_cut_decision(
-            elapsed, pair_secs, budget, next_extra)
+        qbatch_est = (sum(qbatch_est_secs) / len(qbatch_est_secs)
+                      if qbatch_est_secs else 0.0)
+        cut, skip_qbatch, avg_pair, projected = plan_step_decision(
+            elapsed, pair_secs, budget, qbatch_est, q_batches_left)
+        if skip_qbatch:
+            skipped_qbatches += q_batches_left
+            print(f"[bench] budget: skipping {q_batches_left} remaining "
+                  f"qbatch draw(s) (~{qbatch_est:.0f}s each) to afford the "
+                  f"next pair — pairs outrank extra latency draws",
+                  file=sys.stderr, flush=True)
+            q_batches_left = 0
         if pairs:
             # projected-vs-actual log so a future corpus bump can't
             # silently halve the sample count: the cut math is visible
@@ -1055,7 +1091,10 @@ def main() -> None:
         if q_batches_left > 0:
             qb_t0 = time.monotonic()
             qrec = spawn_qbatch(qcorpus, qindex_dir)
-            qbatch_secs.append(time.monotonic() - qb_t0)
+            qb_wall = time.monotonic() - qb_t0
+            qbatch_secs.append(qb_wall)
+            qbatch_est_secs.append(
+                max(0.0, qb_wall - (qrec or {}).get("qindex_build_sec", 0.0)))
             q_batches_left -= 1
             if qrec is not None:
                 query_batches.append(qrec)
@@ -1268,6 +1307,7 @@ def main() -> None:
         "queries_cold_first_run": queries_cold,
         "pair_wall_secs": [round(s, 1) for s in pair_secs],
         "qbatch_wall_secs": [round(s, 1) for s in qbatch_secs],
+        "skipped_qbatches": skipped_qbatches,
         "canary_wait_spent_sec": round(canary_wait_spent, 1),
         "scaling_efficiency_symmetric": (round(_median(sym_effs), 3)
                                          if sym_effs else None),

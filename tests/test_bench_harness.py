@@ -99,6 +99,29 @@ def test_budget_projection_excludes_qbatch_cost():
     assert projected == 1550.0 and not cut
 
 
+def test_plan_step_pairs_outrank_qbatch_draws():
+    """Round-6 validation finding: a severe window priced the pair at
+    1173s and the pending draw at ~300s; with 1333s of budget left the
+    draw's projected cost cut 4 of 5 pairs. When the projection fits
+    WITHOUT the scheduled draw, the draw is skipped and the pair runs."""
+    # with the draw: 1667 + 1173 + 300 = 3140 > 3000; without: 2840 fits
+    cut, skip, avg, projected = bench.plan_step_decision(
+        1667.0, [1173.0], 3000.0, qbatch_est=300.0, q_batches_left=1)
+    assert not cut and skip and projected == 2840.0
+    # no draw scheduled -> plain pair projection, no skip
+    cut, skip, _, _ = bench.plan_step_decision(
+        1667.0, [1173.0], 3000.0, qbatch_est=300.0, q_batches_left=0)
+    assert not cut and not skip
+    # even without the draw the pair does not fit -> genuine cut
+    cut, skip, _, projected = bench.plan_step_decision(
+        2400.0, [1173.0], 3000.0, qbatch_est=300.0, q_batches_left=1)
+    assert cut and not skip and projected == 3873.0
+    # everything fits -> neither cut nor skip
+    cut, skip, _, _ = bench.plan_step_decision(
+        600.0, [290.0], 3000.0, qbatch_est=300.0, q_batches_left=1)
+    assert not cut and not skip
+
+
 def test_quiet_truth_ratio():
     pairs = [
         {"runs_4n_all": [{"build_sec": 29.5}, {"build_sec": 26.3}],
