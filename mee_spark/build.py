@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from mee_spark import manifest as mf
 from mee_spark.config import IndexConfig
 from mee_spark.docmap import assign_doc_ids
-from mee_spark.postings import build_postings
+
 from mee_spark.segments import build_segments
 from mee_spark.textprep import extract_text
 
@@ -90,9 +90,14 @@ def build_full_index(
     from pyspark.sql import Observation
 
     obs = Observation("corpus_stats")
+    # snappy, not the session's zstd default (round 7, guide §6): staging
+    # is a TRANSIENT spill consumed once and deleted at the end of this
+    # build — the cheap-codec/bigger-file trade is the classic one for
+    # intermediates, and the token arrays are what make this file large
     docs_plan.observe(obs, F.count(F.lit(1)).alias("n"),
                       F.sum("dl").alias("sum_dl"),
-                      F.max("doc_id").alias("max_id")).write.mode("overwrite").parquet(staging)
+                      F.max("doc_id").alias("max_id")).write.mode(
+        "overwrite").option("compression", "snappy").parquet(staging)
     n_docs = int(obs.get["n"])
     sum_dl = int(obs.get["sum_dl"] or 0)
     # the NEXT fresh docID, recorded in the manifest so incremental builds
@@ -119,8 +124,13 @@ def build_full_index(
     dm_thread = threading.Thread(target=_write_docmap, daemon=True)
     dm_thread.start()
     try:
-        postings = build_postings(docs)
-        part_metrics = build_segments(postings, cfg, index_dir, gen, resume=resume)
+        # raw token instances straight into the (bucket, range) shuffle:
+        # the writer aggregates tf itself (see _make_writer), so the
+        # separate groupBy(term, doc_id).count() exchange the old
+        # build_postings pass paid is gone — one posting-sized shuffle
+        # instead of two (round 7, guide §2.4)
+        raw = docs.select("doc_id", "dl", F.explode("tokens").alias("term"))
+        part_metrics = build_segments(raw, cfg, index_dir, gen, resume=resume)
     finally:
         # join even on error: a same-gen retry (resume=True flow) must
         # never start while a stale daemon write of the SAME docmap path
@@ -283,8 +293,10 @@ def build_incremental(
     delta_docs.select("url", "doc_id", "dl", "text_hash").write.mode("overwrite").parquet(
         _docmap_path(index_dir, gen)
     )
-    postings = build_postings(delta_docs.select("doc_id", "tokens", "dl"))
-    part_metrics = build_segments(postings, cfg, index_dir, gen, resume=resume)
+    # raw token instances; the segment writer aggregates tf (round 7 —
+    # same single-shuffle shape as the full build)
+    raw = delta_docs.select("doc_id", "dl", F.explode("tokens").alias("term"))
+    part_metrics = build_segments(raw, cfg, index_dir, gen, resume=resume)
     import shutil
 
     shutil.rmtree(_staging, ignore_errors=True)

@@ -32,11 +32,15 @@ from mee_spark.config import BLOCK_SIZE
 _SHIFTS = np.arange(10, dtype=np.uint64) * np.uint64(7)
 
 
-def varbyte_encode(values: np.ndarray) -> bytes:
-    """Vectorized varbyte (LEB128-style: 7 data bits, MSB=continuation)."""
+def varbyte_encode_lens(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized varbyte -> (uint8 byte stream, per-value byte counts).
+
+    The per-value counts let a caller that encodes MANY posting runs in
+    one pass slice the stream back into per-run blobs by offset — the
+    whole-group encoder in segments.py does exactly that (round 7)."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     if v.size == 0:
-        return b""
+        return np.empty(0, dtype=np.uint8), np.empty(0, dtype=np.int64)
     # number of 7-bit groups per value (>=1)
     nbits = np.zeros(v.shape, dtype=np.int64)
     tmp = v.copy()
@@ -57,6 +61,12 @@ def varbyte_encode(values: np.ndarray) -> bytes:
     out[:] = ((v[owner] >> (j * np.uint64(7))) & np.uint64(0x7F)).astype(np.uint8)
     is_last = pos == (ends[owner] - 1)
     out[~is_last] |= 0x80
+    return out, nbytes
+
+
+def varbyte_encode(values: np.ndarray) -> bytes:
+    """Vectorized varbyte (LEB128-style: 7 data bits, MSB=continuation)."""
+    out, _ = varbyte_encode_lens(values)
     return out.tobytes()
 
 

@@ -58,11 +58,24 @@ def assign_doc_ids(pages: DataFrame, num_partitions: int = 32,
     # distinct() would cost a SECOND full shuffle of the url set — at
     # 10^12 docs that is the single largest avoidable exchange in the
     # build (and ~1 s of fixed stage time per build at bench scale).
-    ranged = (
-        pages.select("url")
-        .repartitionByRange(num_partitions, "url")
-        .sortWithinPartitions("url")
-    )
+    #
+    # The range repartition is AQE-COALESCIBLE (no explicit partition
+    # count; round 7, guide §2.2/§2.5): doc_id is the GLOBAL dense rank,
+    # invariant to where partition boundaries fall, so the partition
+    # count is purely a parallelism knob — and a fixed count is wrong at
+    # both ends (128 partitions of a 300k-url build = 2x128 ~50ms Python
+    # rank tasks over a 3.6MB shuffle, measured ~6 s of pure per-task
+    # overhead per build at local[8]; a fixed count would likewise
+    # under-partition a 10^12-doc build). Letting AQE size partitions by
+    # bytes makes the rank pass scale-adaptive; ``num_partitions`` is
+    # only the fallback when AQE is disabled.
+    spark = pages.sparkSession
+    if spark.conf.get("spark.sql.adaptive.enabled", "true") == "true":
+        ranged_shuffle = pages.select("url").repartitionByRange("url")
+    else:
+        ranged_shuffle = pages.select("url").repartitionByRange(
+            num_partitions, "url")
+    ranged = ranged_shuffle.sortWithinPartitions("url")
 
     def attach_local_rank(batches):
         pid = TaskContext.get().partitionId()
@@ -88,7 +101,18 @@ def assign_doc_ids(pages: DataFrame, num_partitions: int = 32,
             i += len(urls)
             yield out
 
-    local = ranged.mapInPandas(attach_local_rank, "url string, _pid int, _idx long")
+    # PINNED (lazy localCheckpoint): the counts branch and the rank-join
+    # branch below must observe the IDENTICAL partition layout — under
+    # AQE's coalescing two independent evaluations of the exchange can
+    # coalesce differently, mismatching ``_pid`` between offsets and
+    # ranks (silently dropping rows at the inner join). The pin also
+    # means the Python rank pass runs ONCE instead of twice (it used to
+    # rely on ReusedExchange and still re-ran the post-shuffle pass per
+    # branch). Lazy: still zero Spark actions of our own; blocks are
+    # GC-released with the DataFrame (the repo's standard idiom).
+    local = ranged.mapInPandas(
+        attach_local_rank, "url string, _pid int, _idx long"
+    ).localCheckpoint(eager=False)
     # per-partition offsets as a LAZY 128-row plan instead of a driver
     # collect: prefix-sum via a window over the (tiny) counts, broadcast
     # back into the rank join. The whole docID assignment then costs the

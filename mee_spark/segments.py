@@ -48,7 +48,7 @@ from pyspark.sql.types import (
 )
 
 from mee_spark import manifest as mf
-from mee_spark.codec import encode_postings
+from mee_spark.codec import varbyte_encode_lens
 from mee_spark.config import IndexConfig
 
 SEGMENT_SCHEMA = pa.schema(
@@ -103,31 +103,104 @@ def with_partition_keys(postings: DataFrame, cfg: IndexConfig) -> DataFrame:
 
 
 def _make_writer(seg_root: str, ckpt_root: str, block_size: int):
-    """Group fn for applyInPandas: one (bucket, range) group → one file."""
+    """Group fn for applyInPandas: one (bucket, range) group → one file.
+
+    Accepts EITHER pre-aggregated postings (term, doc_id, tf, dl) or raw
+    token instances (term, doc_id, dl — one row per token occurrence;
+    round 7): for raw input tf is the run length of equal (term, doc_id)
+    after the sort, computed vectorized. Letting the writer aggregate
+    removes a whole posting-sized exchange from the build (explode →
+    groupBy(term,doc_id).count → SECOND shuffle by (bucket,range)
+    becomes explode → ONE shuffle by (bucket,range)); the group stays
+    bounded because a (bucket, range) group holds at most
+    doc_range_size · avgdl / num_term_buckets token instances."""
 
     def write_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
         bucket, range_id = int(key[0]), int(key[1])
         t0 = time.monotonic()
-        pdf = pdf.sort_values(["term", "doc_id"], kind="mergesort")
-        terms, rows = [], []
         doc = pdf["doc_id"].to_numpy(np.int64)
-        tf = pdf["tf"].to_numpy(np.int64)
         dl = pdf["dl"].to_numpy(np.int64)
-        term_arr = pdf["term"].to_numpy()
+        # factorize (hash-based, no sort of the full column), then sort
+        # only the ~vocab/num_buckets distinct terms and remap the codes —
+        # far cheaper than sorting every row's string
+        codes_u, uniq_u = pd.factorize(pdf["term"], sort=False)
+        uniq_u = np.asarray(uniq_u, dtype=object)
+        order_u = np.argsort(uniq_u)
+        rank = np.empty(len(order_u), dtype=np.int64)
+        rank[order_u] = np.arange(len(order_u))
+        codes = rank[codes_u]
+        uniq_terms = uniq_u[order_u]
+        order = np.lexsort((doc, codes))
+        codes, doc, dl = codes[order], doc[order], dl[order]
+        if "tf" in pdf.columns:
+            tf = pdf["tf"].to_numpy(np.int64)[order]
+        else:
+            # raw token instances: tf = run length of equal (term, doc)
+            newrun = np.empty(len(doc), dtype=bool)
+            newrun[0] = True
+            newrun[1:] = (codes[1:] != codes[:-1]) | (doc[1:] != doc[:-1])
+            rstarts = np.flatnonzero(newrun)
+            tf = np.diff(np.concatenate((rstarts, [len(doc)])))
+            codes, doc, dl = codes[rstarts], doc[rstarts], dl[rstarts]
         # term run boundaries (vectorized)
-        change = np.flatnonzero(term_arr[1:] != term_arr[:-1]) + 1
-        starts = np.concatenate(([0], change))
-        ends = np.concatenate((change, [len(term_arr)]))
-        n_post = 0
-        for s, e in zip(starts, ends):
-            enc = encode_postings(doc[s:e], tf[s:e], dl[s:e], block_size)
-            enc["term"] = term_arr[s]
-            enc["range_id"] = range_id
-            enc["df_local"] = int(e - s)
-            rows.append(enc)
-            n_post += e - s
-            terms.append(term_arr[s])
-        table = pa.Table.from_pylist(rows, schema=SEGMENT_SCHEMA)
+        n = len(doc)
+        change = np.flatnonzero(codes[1:] != codes[:-1]) + 1
+        starts = np.concatenate(([0], change)).astype(np.int64)
+        ends = np.concatenate((change, [n])).astype(np.int64)
+        lens = ends - starts
+        # whole-group encode: ONE varbyte pass per column, sliced back
+        # into per-run blobs by byte offset (zero-copy Arrow binary from
+        # the shared stream — guide §4.2). Byte-identical per run to
+        # encode_postings: same delta + varbyte scheme.
+        deltas = np.empty(n, dtype=np.int64)
+        deltas[1:] = doc[1:] - doc[:-1]
+        deltas[starts] = doc[starts]  # absolute docID at each run start
+        doc_stream, doc_nb = varbyte_encode_lens(deltas.astype(np.uint64))
+        tf_stream, tf_nb = varbyte_encode_lens(tf.astype(np.uint64))
+        dl_stream, dl_nb = varbyte_encode_lens(dl.astype(np.uint64))
+        bnd = np.concatenate((starts, [n]))
+
+        def _bin(stream: np.ndarray, nb: np.ndarray) -> pa.Array:
+            off = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(nb, out=off[1:])
+            off32 = np.ascontiguousarray(off[bnd], dtype=np.int32)
+            return pa.Array.from_buffers(
+                pa.binary(), len(bnd) - 1,
+                [None, pa.py_buffer(off32), pa.py_buffer(stream)])
+
+        # per-run block metadata, all runs in one reduceat pass: block
+        # starts tile each run contiguously, so reduceat segments are
+        # exactly the blocks
+        nblocks = (lens + block_size - 1) // block_size
+        blk_cum = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(nblocks, out=blk_cum[1:])
+        intra = np.arange(int(blk_cum[-1]), dtype=np.int64) - np.repeat(
+            blk_cum[:-1], nblocks)
+        blk_starts = np.repeat(starts, nblocks) + intra * block_size
+        blk_last_idx = np.minimum(blk_starts + block_size - 1,
+                                  np.repeat(ends, nblocks) - 1)
+        blk_off32 = np.ascontiguousarray(blk_cum, dtype=np.int32)
+
+        def _lst(vals: np.ndarray) -> pa.Array:
+            return pa.ListArray.from_arrays(blk_off32, pa.array(
+                vals, type=pa.int64()))
+
+        table = pa.Table.from_arrays(
+            [
+                pa.array(uniq_terms, type=pa.string()),
+                pa.array(np.full(len(lens), range_id, dtype=np.int64)),
+                pa.array(lens),            # df_local == postings per run
+                pa.array(lens),            # n_postings
+                _bin(doc_stream, doc_nb),
+                _bin(tf_stream, tf_nb),
+                _bin(dl_stream, dl_nb),
+                _lst(doc[blk_last_idx]),
+                _lst(np.maximum.reduceat(tf, blk_starts)),
+                _lst(np.minimum.reduceat(dl, blk_starts)),
+            ],
+            schema=SEGMENT_SCHEMA,
+        )
+        n_post = int(lens.sum())
         bucket_dir = os.path.join(seg_root, f"bucket={bucket}")
         os.makedirs(bucket_dir, exist_ok=True)
         final = os.path.join(bucket_dir, f"range_{range_id}.parquet")
@@ -135,7 +208,7 @@ def _make_writer(seg_root: str, ckpt_root: str, block_size: int):
         pq.write_table(table, tmp, compression="zstd")  # rows already term-sorted
         os.replace(tmp, final)  # idempotent under task retry / speculation
         wall = time.monotonic() - t0
-        metrics = dict(bucket=bucket, range_id=range_id, n_terms=len(rows),
+        metrics = dict(bucket=bucket, range_id=range_id, n_terms=len(uniq_terms),
                        n_postings=int(n_post), wall_sec=wall,
                        bytes_written=int(os.path.getsize(final)))
         os.makedirs(ckpt_root, exist_ok=True)
