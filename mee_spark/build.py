@@ -254,10 +254,52 @@ def build_incremental(
 
     os.makedirs(mf.gen_dir(index_dir, gen), exist_ok=True)
     _staging = os.path.join(mf.gen_dir(index_dir, gen), "_docs_staging.parquet")
+
+    # Four writes, two CONCURRENT phases instead of four serial actions
+    # (round 7, guide §2.6 — each removed serial action is driver time on
+    # the incremental path's Amdahl floor):
+    #   phase 1: staging write ∥ tombstones write (independent branches
+    #            of the same diff — tombstones never read staging);
+    #   phase 2: docmap write ∥ segment build (both read the staging
+    #            file, neither reads the other's output).
+    # corpus stats delta (exact): N' = N + added − deleted; Σdl'
+    # likewise, replacing changed docs' old dl with the new one. The
+    # removed-docs aggregate RIDES the tombstones write via observe()
+    # (the tombstone rows ARE the changed∪deleted set); the changed-count
+    # rides along as a flag column.
+    tomb_src = (
+        changed.select(F.col("old_doc_id").alias("doc_id"), "old_dl",
+                       F.lit(1).alias("chg"))
+        .unionByName(deleted.select(F.col("old_doc_id").alias("doc_id"),
+                                    "old_dl", F.lit(0).alias("chg")))
+    )
+    obs_rem = Observation("removed_stats")
+    import threading
+
+    _side_err: list[BaseException] = []
+
+    def _write_tombstones() -> None:
+        try:
+            tomb_src.observe(
+                obs_rem, F.count(F.lit(1)).alias("n"),
+                F.sum("old_dl").alias("s"), F.sum("chg").alias("nc")
+            ).select("doc_id").write.mode("overwrite").parquet(
+                _tombstones_path(index_dir, gen))
+        except BaseException as e:  # surfaced after join()
+            _side_err.append(e)
+
+    ts_thread = threading.Thread(target=_write_tombstones, daemon=True)
+    ts_thread.start()
     obs = Observation("delta_stats")
-    delta_plan.observe(obs, F.count(F.lit(1)).alias("n"),
-                       F.sum("dl").alias("s"),
-                       F.max("doc_id").alias("m")).write.mode("overwrite").parquet(_staging)
+    try:
+        delta_plan.observe(
+            obs, F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s"),
+            F.max("doc_id").alias("m")).write.mode("overwrite").option(
+            "compression", "snappy").parquet(_staging)
+    finally:
+        ts_thread.join()
+    if _side_err:
+        raise _side_err[0]
     n_delta, dl_delta = int(obs.get["n"]), int(obs.get["s"] or 0)
     # advance the chain's next_doc_id watermark: a delete-only or
     # changed-only delta allocates nothing, so the watermark never moves
@@ -266,37 +308,33 @@ def build_incremental(
     next_doc_id = max(int(start_id),
                       int(obs_max) + 1 if obs_max is not None else 0)
     delta_docs = spark.read.parquet(_staging)
-
-    # corpus stats delta (exact): N' = N + added − deleted; Σdl' likewise,
-    # replacing changed docs' old dl with the new one. The removed-docs
-    # aggregate RIDES the tombstones write via observe() — the tombstone
-    # rows ARE the changed∪deleted set, so the stats cost zero extra jobs
-    # (the diff join is evaluated once here, not twice; the changed-count
-    # rides along as a flag column).
-    tomb_src = (
-        changed.select(F.col("old_doc_id").alias("doc_id"), "old_dl",
-                       F.lit(1).alias("chg"))
-        .unionByName(deleted.select(F.col("old_doc_id").alias("doc_id"),
-                                    "old_dl", F.lit(0).alias("chg")))
-    )
-    obs_rem = Observation("removed_stats")
-    tomb_src.observe(
-        obs_rem, F.count(F.lit(1)).alias("n"), F.sum("old_dl").alias("s"),
-        F.sum("chg").alias("nc")
-    ).select("doc_id").write.mode("overwrite").parquet(_tombstones_path(index_dir, gen))
     n_removed, dl_removed = int(obs_rem.get["n"]), int(obs_rem.get["s"] or 0)
     n_changed = int(obs_rem.get["nc"] or 0)
     prev_m = chain[-1]
     n_live = prev_m["n_docs_live"] + n_delta - n_removed + 0  # changed counted in both
     # changed docs: removed old (in rem) and re-added (in delta) -> net N includes once
     sum_dl_live = prev_m["sum_dl_live"] + dl_delta - dl_removed
-    delta_docs.select("url", "doc_id", "dl", "text_hash").write.mode("overwrite").parquet(
-        _docmap_path(index_dir, gen)
-    )
-    # raw token instances; the segment writer aggregates tf (round 7 —
-    # same single-shuffle shape as the full build)
-    raw = delta_docs.select("doc_id", "dl", F.explode("tokens").alias("term"))
-    part_metrics = build_segments(raw, cfg, index_dir, gen, resume=resume)
+
+    def _write_docmap() -> None:
+        try:
+            delta_docs.select("url", "doc_id", "dl", "text_hash").write.mode(
+                "overwrite").parquet(_docmap_path(index_dir, gen))
+        except BaseException as e:
+            _side_err.append(e)
+
+    dm_thread = threading.Thread(target=_write_docmap, daemon=True)
+    dm_thread.start()
+    try:
+        # raw token instances; the segment writer aggregates tf (round 7 —
+        # same single-shuffle shape as the full build)
+        raw = delta_docs.select("doc_id", "dl", F.explode("tokens").alias("term"))
+        part_metrics = build_segments(raw, cfg, index_dir, gen, resume=resume)
+    finally:
+        # join even on error: a same-gen retry must never overlap a stale
+        # in-flight write of the same docmap path
+        dm_thread.join()
+    if _side_err:
+        raise _side_err[0]
     import shutil
 
     shutil.rmtree(_staging, ignore_errors=True)

@@ -241,10 +241,14 @@ def bm25_topk_wand(
     qterms = explode_query_terms(queries)  # (query_id, k, term)
     if vocab_in_plan is None:
         # bounded probe: LIMIT caps the action's cost at threshold+1 rows
-        # however large the batch is
-        vocab_in_plan = (queries.select("query_id")
-                         .limit(VOCAB_IN_PLAN_THRESHOLD + 1)
-                         .count() > VOCAB_IN_PLAN_THRESHOLD)
+        # however large the batch is. collect(), not count(): a local
+        # query relation (the common interactive case) answers a
+        # limit-collect straight from the driver with NO Spark job, while
+        # count() always schedules one (round 7 — each trivial action is
+        # ~0.3 s of serial driver time per query call)
+        vocab_in_plan = (len(queries.select("query_id")
+                             .limit(VOCAB_IN_PLAN_THRESHOLD + 1)
+                             .collect()) > VOCAB_IN_PLAN_THRESHOLD)
 
     if vocab_in_plan:
         # the only driver-side list is the bucket ids — bounded by
@@ -264,86 +268,95 @@ def bm25_topk_wand(
             F.col("bucket").isin(buckets)).join(
             F.broadcast(vocab), "term", "semi")
     else:
-        terms = [r["term"] for r in qterms.select("term").distinct().collect()]
+        # ONE collect carries both the distinct terms and their bucket
+        # ids (the bucket hash is a column of the same tiny relation) —
+        # the old shape spent a second full action re-hashing the terms
+        # (round 7: two trivial actions → one)
+        rows = (qterms.select("term").distinct()
+                .select("term",
+                        F.pmod(F.xxhash64("term"), F.lit(cfg.num_term_buckets))
+                        .cast("long").alias("_b")).collect())
+        terms = [r["term"] for r in rows]
         if not terms:
             return spark.createDataFrame(
                 [], "query_id int, rank long, doc_id long, score double")
-        buckets = _term_buckets(spark, terms, cfg.num_term_buckets)
+        buckets = sorted({r["_b"] for r in rows})
         segs = read_segments(spark, index_dir, gens).filter(
             F.col("bucket").isin(buckets) & F.col("term").isin(terms))
 
-    # cached: the pruned scan (query terms only — tiny next to the index)
-    # feeds both the df aggregation and the scoring join. Tombstones join
-    # in per docID range BEFORE the cache so both consumers see them.
+    # Tombstones join in per docID range so every consumer sees them.
+    # ROUND 7: the pruned scan is no longer cached and the candidate set
+    # no longer eagerly checkpointed — every pass is lazy. The df
+    # aggregation and the scoring join each evaluate the pruned scan
+    # once; on the no-tombstone path (fresh or compacted index — the
+    # steady state) the df pass is a metadata aggregate over (term,
+    # df_local) only, so Parquet column pruning makes it nearly free and
+    # the blob columns are read exactly once, by the scoring job. On a
+    # tombstone chain the df pass must decode blobs, so the pruned scan
+    # is read twice — bounded work (query terms only, and the
+    # compaction policy caps chain length/tombstone ratio), measured
+    # flat vs the old cache+checkpoint shape even on the 2-gen
+    # lifecycle chain, while dropping two materialization passes from
+    # every call and keeping the CacheManager trivially empty.
     tombs = tombstones_per_range(spark, index_dir, gens, cfg.doc_range_size)
     if tombs is not None:
         segs = segs.join(tombs, "range_id", "left")
-    segs = segs.cache()
-    try:
-        if tombs is not None:
-            # exact live df needs decode (old gens still hold dead postings)
-            def live_counts(batches):
-                for pdf in batches:
-                    counts = []
-                    for row in pdf.itertuples():
-                        docs, _, _ = decode_postings(row)
-                        dead = _dead_ids(row, int(row.gen))
-                        n = len(docs) if dead is None else int(
-                            (~np.isin(docs, dead)).sum())
-                        counts.append((row.term, n))
-                    yield pd.DataFrame(counts, columns=["term", "live"])
 
-            df_agg = (segs.mapInPandas(live_counts, "term string, live long")
-                      .groupBy("term").agg(F.sum("live").alias("df")))
-        else:
-            df_agg = segs.groupBy("term").agg(F.sum("df_local").alias("df"))
+    if tombs is not None:
+        # exact live df needs decode (old gens still hold dead postings)
+        def live_counts(batches):
+            for pdf in batches:
+                counts = []
+                for row in pdf.itertuples():
+                    docs, _, _ = decode_postings(row)
+                    dead = _dead_ids(row, int(row.gen))
+                    n = len(docs) if dead is None else int(
+                        (~np.isin(docs, dead)).sum())
+                    counts.append((row.term, n))
+                yield pd.DataFrame(counts, columns=["term", "live"])
+
+        df_agg = (segs.mapInPandas(live_counts, "term string, live long")
+                  .groupBy("term").agg(F.sum("live").alias("df")))
+    else:
+        df_agg = segs.groupBy("term").agg(F.sum("df_local").alias("df"))
+    if vocab_in_plan:
+        # df stays a COLUMN: the per-term aggregate (query vocabulary
+        # only — tiny next to the index) broadcast-joins back onto the
+        # cached pruned scan; nothing vocabulary-sized reaches the driver
+        df_map = None
+        segs_q = segs.join(F.broadcast(df_agg), "term")
+    else:
+        df_map = {r["term"]: int(r["df"]) for r in df_agg.collect()}
+        segs_q = segs
+
+    qt = qterms
+    n_terms_map = None
+    if conjunctive:
         if vocab_in_plan:
-            # df stays a COLUMN: the per-term aggregate (query vocabulary
-            # only — tiny next to the index) broadcast-joins back onto the
-            # cached pruned scan; nothing vocabulary-sized reaches the driver
-            df_map = None
-            segs_q = segs.join(F.broadcast(df_agg), "term")
+            qt = qterms.join(
+                qterms.groupBy("query_id").agg(
+                    F.count("*").alias("_n_terms")), "query_id")
         else:
-            df_map = {r["term"]: int(r["df"]) for r in df_agg.collect()}
-            segs_q = segs
+            n_terms_map = {int(r["query_id"]): int(r["n"]) for r in
+                           qterms.groupBy("query_id").agg(
+                               F.count("*").alias("n")).collect()}
 
-        qt = qterms
-        n_terms_map = None
-        if conjunctive:
-            if vocab_in_plan:
-                qt = qterms.join(
-                    qterms.groupBy("query_id").agg(
-                        F.count("*").alias("_n_terms")), "query_id")
-            else:
-                n_terms_map = {int(r["query_id"]): int(r["n"]) for r in
-                               qterms.groupBy("query_id").agg(
-                                   F.count("*").alias("n")).collect()}
-
-        # parallelism = ranges x query-shards: sharding the query batch keeps
-        # big batches parallel even over few ranges, while queries within a
-        # shard still share each (term, gen) decode. Fixed 8: a batch with
-        # fewer queries just leaves shards empty (no rows -> no groups), so
-        # no count() action is spent sizing it (every extra action is
-        # serial driver time on the query-latency floor)
-        n_qshards = 8
-        joined = (
-            segs_q.join(F.broadcast(qt), "term")
-            .withColumn("_qshard", F.pmod(F.col("query_id"), F.lit(n_qshards)))
-        )
-        scorer = _make_scorer(df_map, n_docs, avgdl, cfg.k1, cfg.b,
-                              use_block_max, cfg.wand_min_postings,
-                              round_to=round_digits, n_terms_map=n_terms_map,
-                              conjunctive=conjunctive)
-        local = joined.groupBy("range_id", "_qshard").applyInPandas(scorer, _LOCAL_SCHEMA)
-        # materialize the per-range candidates (≤ k·ranges·qshards rows,
-        # distributed) so the cached pruned scan can be released NOW —
-        # long-lived query sessions must not accumulate cached scans. The
-        # checkpoint's own storage is freed by Spark's ContextCleaner when
-        # the caller drops the result DF: bounded by live references,
-        # unlike a named cache which outlives its last consumer.
-        local = local.localCheckpoint(eager=True)
-    finally:
-        segs.unpersist()
+    # parallelism = ranges x query-shards: sharding the query batch keeps
+    # big batches parallel even over few ranges, while queries within a
+    # shard still share each (term, gen) decode. Fixed 8: a batch with
+    # fewer queries just leaves shards empty (no rows -> no groups), so
+    # no count() action is spent sizing it (every extra action is
+    # serial driver time on the query-latency floor)
+    n_qshards = 8
+    joined = (
+        segs_q.join(F.broadcast(qt), "term")
+        .withColumn("_qshard", F.pmod(F.col("query_id"), F.lit(n_qshards)))
+    )
+    scorer = _make_scorer(df_map, n_docs, avgdl, cfg.k1, cfg.b,
+                          use_block_max, cfg.wand_min_postings,
+                          round_to=round_digits, n_terms_map=n_terms_map,
+                          conjunctive=conjunctive)
+    local = joined.groupBy("range_id", "_qshard").applyInPandas(scorer, _LOCAL_SCHEMA)
 
     # scores leave the scorer already rounded (the kernels select by the
     # rounded key); F.round here is an identity re-statement that keeps
