@@ -239,28 +239,34 @@ def q_fulltext_wand_conjunctive(spark, sf_dir):
     )
 
 
-def q_fulltext_bm25_topk(spark, sf_dir):
+def _postings_with_stats(docs):
+    """Postings with the corpus stats riding IN-PLAN (broadcast 1-row
+    cross join) instead of a separate stats collect() — one Spark job
+    per query instead of two; scores bit-identical (round 7, see
+    bm25.idf_col)."""
     from mee_spark.postings import build_postings
+
+    stats = docs.agg(F.count("*").cast("double").alias("_n_docs"),
+                     F.avg("dl").alias("_avgdl"))
+    return build_postings(docs).crossJoin(F.broadcast(stats))
+
+
+def q_fulltext_bm25_topk(spark, sf_dir):
     from mee_spark.query import bm25_topk_exhaustive
 
-    docs = _docs(spark, sf_dir)
-    stats = docs.agg(F.count("*").alias("n"), F.avg("dl").alias("a")).collect()[0]
     return bm25_topk_exhaustive(
-        build_postings(docs), _queries_df(spark),
-        int(stats["n"]), float(stats["a"]), k=None, round_digits=6,
+        _postings_with_stats(_docs(spark, sf_dir)), _queries_df(spark),
+        F.col("_n_docs"), F.col("_avgdl"), k=None, round_digits=6,
     )
 
 
 def q_fulltext_bm25_conjunctive(spark, sf_dir):
     """AND semantics: only docs containing every query term rank."""
-    from mee_spark.postings import build_postings
     from mee_spark.query import bm25_topk_conjunctive
 
-    docs = _docs(spark, sf_dir)
-    stats = docs.agg(F.count("*").alias("n"), F.avg("dl").alias("a")).collect()[0]
     return bm25_topk_conjunctive(
-        build_postings(docs), _queries_df(spark),
-        int(stats["n"]), float(stats["a"]), k=None, round_digits=6,
+        _postings_with_stats(_docs(spark, sf_dir)), _queries_df(spark),
+        F.col("_n_docs"), F.col("_avgdl"), k=None, round_digits=6,
     )
 
 
@@ -1335,9 +1341,9 @@ def q_stream_windowed_counts(spark, sf_dir):
     counts = windowed_counts(src, "ts", "event_type",
                              window="1 hour", watermark="2 hours")
     name = "stream_wc_" + uuid.uuid4().hex[:8]
-    # measured 2.6 s -> 1.1 s at reduced state partitioning, identical
-    # output (see _shuffle_partitions)
-    with _shuffle_partitions(spark, 8):
+    # measured 2.6 s -> 1.1 s at 8 state partitions, -0.1 s more at 4
+    # (round 7), identical output (see _shuffle_partitions)
+    with _shuffle_partitions(spark, 4):
         q = (counts.writeStream.format("memory").queryName(name)
              .outputMode("complete").trigger(availableNow=True).start())
         q.awaitTermination()
@@ -1376,7 +1382,10 @@ def q_stream_dedup_urls(spark, sf_dir):
     # partitioning), which bench.py's warm pass absorbs. Keyed-state
     # sharding still runs across 8 partitions x 4 batches, so the
     # cross-batch path the oracle gates is untouched.
-    with _shuffle_partitions(spark, 8):
+    # 8 -> 4 state partitions in round 7: ~0.4 s of per-micro-batch
+    # state-store/task overhead, identical output (the 4096-shard hash
+    # keying is unchanged; partitioning only groups shards per task)
+    with _shuffle_partitions(spark, 4):
         q = (stateful_url_dedup(pages, mode="exact")
              .select("url")
              .writeStream.format("memory").queryName(name)

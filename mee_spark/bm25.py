@@ -26,13 +26,19 @@ from pyspark.sql import functions as F
 from mee_spark.config import B, K1
 
 
-def idf_col(df_col: Column, n_docs: int) -> Column:
-    return F.log(1.0 + (F.lit(float(n_docs)) - df_col + 0.5) / (df_col + 0.5))
+def idf_col(df_col: Column, n_docs: int | Column) -> Column:
+    """``n_docs`` may be a driver scalar or a Column (round 7): passing
+    the corpus-stats aggregate in-plan (broadcast 1-row cross join) lets
+    a caller skip the separate stats collect() action; the float ops are
+    identical either way, so scores are bit-identical."""
+    nd = n_docs if isinstance(n_docs, Column) else F.lit(float(n_docs))
+    return F.log(1.0 + (nd - df_col + 0.5) / (df_col + 0.5))
 
 
-def tnorm_col(tf_col: Column, dl_col: Column, avgdl: float,
+def tnorm_col(tf_col: Column, dl_col: Column, avgdl: float | Column,
               k1: float = K1, b: float = B) -> Column:
-    denom = tf_col + k1 * (1.0 - b + b * dl_col / F.lit(float(avgdl)))
+    ad = avgdl if isinstance(avgdl, Column) else F.lit(float(avgdl))
+    denom = tf_col + k1 * (1.0 - b + b * dl_col / ad)
     return tf_col * (k1 + 1.0) / denom
 
 

