@@ -1577,13 +1577,32 @@ def _media_video_luma_sql() -> str:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's correctness pass may sample a prefix
-    # of this dict (round 5 checked the first 50 of 65), so entries are
-    # ordered least-recently-oracled FIRST: queries whose latest green row
-    # is oldest (r4: the rel_/stream_ block) lead, then queries never yet
-    # driver-checked (new this round: media_*), then the block with fresh
-    # r5 rows. Rotate per round so no entry's evidence goes stale.
+    # of this dict (rounds 5 and 6 checked the first 50), so entries are
+    # ordered least-recently-oracled FIRST: the 18 queries whose latest
+    # green row is r5 (rotated out by the r6 prefix) lead, then the r6
+    # block in its previous relative order. Rotate per round so no
+    # entry's evidence goes stale (VERDICT r6 Next #2).
     return {
-        # --- r4 evidence, missed by the r5 prefix (VERDICT r5 #2) ---
+        # --- r5 evidence only, rotated out by the r6 prefix ---
+        "text_vocab_topk": q_text_vocab_topk,
+        "dedup_coverage": q_dedup_coverage,
+        "dedup_decontaminate": q_dedup_decontaminate,
+        "dedup_winnow": q_dedup_winnow,
+        "dedup_clusters": q_dedup_clusters,
+        "pipeline_curate": q_pipeline_curate,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "dedup_embedding": q_dedup_embedding,
+        "dedup_embedding_lsh": q_dedup_embedding_lsh,
+        "ann_bruteforce": q_ann_bruteforce,
+        "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
+        "rel_lookup_join": q_rel_lookup_join,
+        "rel_multihop_join": q_rel_multihop_join,
+        # --- fresh r6 green rows, previous relative order ---
         "rel_nested_collect": q_rel_nested_collect,
         "rel_filter_predicates": q_rel_filter_predicates,
         "rel_decorrelated_count": q_rel_decorrelated_count,
@@ -1636,24 +1655,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_quantiles": q_text_token_quantiles,
         "text_sample_stratified": q_text_sample_stratified,
         "text_pack_sequences": q_text_pack_sequences,
-        "text_vocab_topk": q_text_vocab_topk,
-        "dedup_coverage": q_dedup_coverage,
-        "dedup_decontaminate": q_dedup_decontaminate,
-        "dedup_winnow": q_dedup_winnow,
-        "dedup_clusters": q_dedup_clusters,
-        "pipeline_curate": q_pipeline_curate,
-        "dedup_exact": q_dedup_exact,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_simhash_pairs": q_dedup_simhash_pairs,
-        "dedup_embedding": q_dedup_embedding,
-        "dedup_embedding_lsh": q_dedup_embedding_lsh,
-        "ann_bruteforce": q_ann_bruteforce,
-        "ann_lsh": q_ann_lsh,
-        "ann_ivf": q_ann_ivf,
-        "rel_lookup_join": q_rel_lookup_join,
-        "rel_multihop_join": q_rel_multihop_join,
     }
 
 

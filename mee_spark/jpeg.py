@@ -210,6 +210,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         if pos + 4 > len(payload):
             raise ValueError("truncated JPEG segment")
         (seglen,) = struct.unpack(">H", payload[pos + 2:pos + 4])
+        if seglen < 2:  # length includes its own 2 bytes (T.81 B.1.1.4)
+            raise ValueError("bad JPEG segment length")
         seg = payload[pos + 4:pos + 2 + seglen]
         if pos + 2 + seglen > len(payload):
             raise ValueError("truncated JPEG segment")

